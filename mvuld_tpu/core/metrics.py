@@ -114,7 +114,9 @@ def best_f1(y_true: np.ndarray, y_score: np.ndarray):
     k = np.arange(1, y.size + 1, dtype=np.float64)
     precision = tps / k
     recall = tps / n_pos
-    f1 = np.where(precision + recall > 0, 2 * precision * recall / (precision + recall), 0.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        f1 = np.where(precision + recall > 0,
+                      2 * precision * recall / (precision + recall), 0.0)
     # only cut points at the last element of each tie group are realizable
     valid = np.r_[np.diff(s) != 0, True]
     f1 = np.where(valid, f1, -1.0)

