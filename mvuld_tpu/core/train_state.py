@@ -1,0 +1,128 @@
+"""Train-state container and jitted train/eval step factories.
+
+The TPU equivalent of the reference's train_one_epoch/validate inner loops
+(mvuld/main.py:251-426, main_bigvul.py:294-500): one fused XLA step — forward,
+loss (CE with label smoothing, MODEL.LABEL_SMOOTHING=0.1), backward, clip,
+optimizer update — jitted once, batch dim sharded over the "dp" mesh axis,
+state donated to avoid HBM copies. No AMP GradScaler: bf16 compute with fp32
+master params makes loss scaling unnecessary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    batch_stats: Any = None
+
+    @classmethod
+    def create(cls, params, tx, batch_stats=None):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params), batch_stats=batch_stats)
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                  label_smoothing: float = 0.0,
+                  soft_targets: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Mean CE; ``soft_targets`` (mixup) overrides integer labels."""
+    num_classes = logits.shape[-1]
+    if soft_targets is not None:
+        targets = soft_targets
+    else:
+        targets = jax.nn.one_hot(labels, num_classes)
+    if label_smoothing > 0:
+        targets = targets * (1 - label_smoothing) + label_smoothing / num_classes
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -(targets * logp).sum(axis=-1).mean()
+
+
+def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
+                    label_smoothing: float = 0.1,
+                    has_batch_stats: bool = False,
+                    donate: bool = True) -> Callable:
+    """Build a jitted train step.
+
+    ``apply_fn(variables, batch, rngs, train) -> logits`` adapts each model's
+    call signature; the factory handles loss/grad/update and (optionally)
+    BatchNorm statistics mutation.
+    """
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params}
+        if has_batch_stats:
+            variables["batch_stats"] = batch_stats
+            logits, mutated = apply_fn(variables, batch, rngs={"dropout": rng},
+                                       train=True, mutable=["batch_stats"])
+            new_stats = mutated["batch_stats"]
+        else:
+            logits = apply_fn(variables, batch, rngs={"dropout": rng},
+                              train=True)
+            new_stats = batch_stats
+        loss = cross_entropy(logits, batch["label"], label_smoothing,
+                             batch.get("soft_label"))
+        return loss, (logits, new_stats)
+
+    def train_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
+        step_rng = jax.random.fold_in(rng, state.step)
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   step_rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "acc": (logits.argmax(-1) == batch["label"]).mean(),
+        }
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=new_opt, batch_stats=new_stats)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(apply_fn: Callable, has_batch_stats: bool = False) -> Callable:
+    def eval_step(state: TrainState, batch: Dict) -> jnp.ndarray:
+        variables = {"params": state.params}
+        if has_batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        return apply_fn(variables, batch, rngs=None, train=False)
+
+    return jax.jit(eval_step)
+
+
+@dataclasses.dataclass
+class EarlyStopper:
+    """Best-F1 early stopping (reference: patience 10 swin / 50 fusion,
+    main.py:215-235, main_bigvul.py:264-268)."""
+
+    patience: int
+    best: float = float("-inf")
+    best_epoch: int = -1
+    counter: int = 0
+
+    def update(self, value: float, epoch: int) -> bool:
+        """Returns True if this is a new best."""
+        if value > self.best:
+            self.best = value
+            self.best_epoch = epoch
+            self.counter = 0
+            return True
+        self.counter += 1
+        return False
+
+    @property
+    def should_stop(self) -> bool:
+        return self.counter >= self.patience

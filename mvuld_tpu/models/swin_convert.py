@@ -1,0 +1,143 @@
+"""SwinV2 torch checkpoint → Flax params, with the reference's surgery.
+
+Handles the released SwinV2 ImageNet checkpoints the reference fine-tunes from
+(reference: mvuld/utils.py load_pretrained:31-141):
+
+  * drops relative_position_index / relative_coords_table / attn_mask buffers
+    (regenerated as static constants here),
+  * bicubic-interpolates SwinV1-style ``relative_position_bias_table`` across
+    window sizes (utils.py:72-90) — needed when converting V1 checkpoints,
+  * bicubic-interpolates the absolute position embedding (utils.py:92-112),
+  * reinitializes/reshapes the classification head on class-count mismatch
+    (utils.py:22-28, 115-135).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+from mvuld_tpu.models.swin_v2 import SwinV2Config
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def interpolate_bias_table(table: np.ndarray, src_window: int, dst_window: int
+                           ) -> np.ndarray:
+    """Bicubic-resample a [(2S-1)², H] relative-position bias table to
+    [(2D-1)², H] (reference: utils.py:72-90 uses F.interpolate bicubic)."""
+    S1 = 2 * src_window - 1
+    S2 = 2 * dst_window - 1
+    H = table.shape[1]
+    img = table.reshape(S1, S1, H)
+    try:
+        import cv2
+        out = cv2.resize(img, (S2, S2), interpolation=cv2.INTER_CUBIC)
+        if out.ndim == 2:
+            out = out[:, :, None]
+    except ImportError:                       # scipy fallback
+        from scipy.ndimage import zoom
+        out = zoom(img, (S2 / S1, S2 / S1, 1), order=3)
+    return out.reshape(S2 * S2, H)
+
+
+def interpolate_ape(ape: np.ndarray, src_patches: int, dst_patches: int
+                    ) -> np.ndarray:
+    """[1, S², C] → [1, D², C] bicubic (reference: utils.py:92-112)."""
+    import cv2
+    C = ape.shape[-1]
+    S = int(np.sqrt(ape.shape[1]))
+    D = int(np.sqrt(dst_patches))
+    img = ape.reshape(S, S, C).astype(np.float32)
+    out = cv2.resize(img, (D, D), interpolation=cv2.INTER_CUBIC)
+    return out.reshape(1, D * D, C)
+
+
+def swinv2_torch_to_flax(state_dict: Mapping[str, object], config: SwinV2Config,
+                         strict_head: bool = False) -> Dict:
+    """Map a torch SwinV2 ``state_dict`` (reference module layout,
+    mvuld/models/swin_transformer_v2.py) onto our Flax param tree."""
+    sd = {k: v for k, v in state_dict.items()
+          if not any(s in k for s in ("relative_position_index",
+                                      "relative_coords_table", "attn_mask"))}
+
+    def W(key):
+        return _np(sd[key])
+
+    def dense(key):
+        out = {"kernel": W(key + ".weight").T}
+        if key + ".bias" in sd:
+            out["bias"] = W(key + ".bias")
+        return out
+
+    def norm(key):
+        return {"scale": W(key + ".weight"), "bias": W(key + ".bias")}
+
+    params: Dict = {}
+    # patch embed: torch conv [C_out, C_in, kh, kw] → flax [kh, kw, C_in, C_out]
+    params["patch_embed"] = {
+        "proj": {"kernel": W("patch_embed.proj.weight").transpose(2, 3, 1, 0),
+                 "bias": W("patch_embed.proj.bias")},
+    }
+    if config.patch_norm:
+        params["patch_embed"]["norm"] = norm("patch_embed.norm")
+    if config.ape and "absolute_pos_embed" in sd:
+        ape = W("absolute_pos_embed")
+        dst = (config.img_size // config.patch_size) ** 2
+        if ape.shape[1] != dst:
+            ape = interpolate_ape(ape, ape.shape[1], dst)
+        params["absolute_pos_embed"] = ape
+
+    for i, depth in enumerate(config.depths):
+        for j in range(depth):
+            p = f"layers.{i}.blocks.{j}."
+            blk = {
+                "norm1": norm(p + "norm1"),
+                "norm2": norm(p + "norm2"),
+                "attn": {
+                    "qkv_kernel": W(p + "attn.qkv.weight").T,
+                    "q_bias": W(p + "attn.q_bias"),
+                    "v_bias": W(p + "attn.v_bias"),
+                    "logit_scale": W(p + "attn.logit_scale"),
+                    "cpb_fc1": {"kernel": W(p + "attn.cpb_mlp.0.weight").T,
+                                "bias": W(p + "attn.cpb_mlp.0.bias")},
+                    "cpb_fc2": {"kernel": W(p + "attn.cpb_mlp.2.weight").T},
+                    "proj": dense(p + "attn.proj"),
+                },
+                "mlp": {"fc1": dense(p + "mlp.fc1"),
+                        "fc2": dense(p + "mlp.fc2")},
+            }
+            params[f"layers_{i}_blocks_{j}"] = blk
+        if i < len(config.depths) - 1:
+            d = f"layers.{i}.downsample."
+            params[f"layers_{i}_downsample"] = {
+                "reduction": {"kernel": W(d + "reduction.weight").T},
+                "norm": norm(d + "norm"),
+            }
+    params["norm"] = norm("norm")
+
+    if "head.weight" in sd:
+        head_w = W("head.weight")
+        if head_w.shape[0] == config.num_classes:
+            params["head"] = dense("head")
+        elif strict_head:
+            raise ValueError(
+                f"head has {head_w.shape[0]} classes, config wants "
+                f"{config.num_classes}")
+        else:
+            # class-count mismatch → xavier reinit (reference: utils.py:22-28)
+            rng = np.random.RandomState(0)
+            fan_in = head_w.shape[1]
+            fan_out = config.num_classes
+            limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
+            params["head"] = {
+                "kernel": rng.uniform(-limit, limit,
+                                      (fan_in, fan_out)).astype(np.float32),
+                "bias": np.zeros((fan_out,), np.float32),
+            }
+    return params

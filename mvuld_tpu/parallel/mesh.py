@@ -1,0 +1,60 @@
+"""Device mesh and sharding setup — the TPU replacement for torch DDP.
+
+The reference's distribution stack is single-axis DDP over NCCL
+(torch.distributed.launch, DistributedSampler, allreduce; SURVEY §2.5).
+TPU-native mapping:
+
+  * one process, an ICI mesh of chips: ``Mesh(devices, ("dp", "mp"))``;
+  * the batch dim is sharded over "dp" (DistributedSampler → sharding);
+  * gradients are averaged by XLA's reduce-sum over "dp" automatically when
+    the loss is a mean over the global batch under jit-with-shardings — no
+    explicit allreduce (the NCCL allreduce / reduce_tensor equivalents);
+  * "mp" is reserved for tensor-parallel sharding of encoder weights.
+
+Everything uses the modern ``jax.sharding`` API: jit with in/out shardings —
+no pmap.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int = -1, mp: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if dp in (-1, 0):
+        dp = len(devices) // mp
+    if dp * mp > len(devices):
+        raise ValueError(f"mesh {dp}×{mp} needs {dp*mp} devices, "
+                         f"have {len(devices)}")
+    arr = np.asarray(devices[: dp * mp]).reshape(dp, mp)
+    return Mesh(arr, ("dp", "mp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over dp, replicate the rest."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place a host-side batch pytree onto the mesh, batch-dim sharded.
+
+    The global batch size must divide the dp axis (the host pipeline pads the
+    final partial batch, mirroring the reference's drop_last/pad behavior).
+    """
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)

@@ -1,0 +1,100 @@
+"""Shared training harness: epoch loop, validation, best-F1 checkpointing.
+
+The TPU equivalent of the reference's outer loops (mvuld/main.py:204-241,
+main_bigvul.py:231-283): per-epoch train pass, validation with full-metric
+suite (F1@0.5, PR-AUC, ROC-AUC), best-F1 checkpoint + early stop, periodic
+logging with images/sec. One process drives the whole mesh.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from mvuld_tpu.core.checkpoint import save_checkpoint
+from mvuld_tpu.core.logger import AverageMeter, create_logger
+from mvuld_tpu.core.metrics import format_metrics, get_metrics_logits
+from mvuld_tpu.core.train_state import EarlyStopper, TrainState
+from mvuld_tpu.data.loader import ArrayDataset, eval_batches, train_batches
+from mvuld_tpu.parallel.mesh import shard_batch
+
+
+def run_eval(eval_step: Callable, state: TrainState, ds: ArrayDataset,
+             batch_size: int, mesh=None) -> Dict[str, float]:
+    """Gather logits over the eval set (padded final batch masked out) and
+    compute the canonical metric suite on host."""
+    all_logits, all_labels = [], []
+    for batch in eval_batches(ds, batch_size):
+        valid = batch.pop("_valid")
+        labels = batch["label"]
+        b = shard_batch(mesh, batch) if mesh is not None else batch
+        logits = np.asarray(eval_step(state, b))
+        keep = valid > 0
+        all_logits.append(logits[keep])
+        all_labels.append(np.asarray(labels)[keep])
+    logits = np.concatenate(all_logits)
+    labels = np.concatenate(all_labels)
+    return get_metrics_logits(labels, logits)
+
+
+def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
+        train_ds: ArrayDataset, val_ds: ArrayDataset,
+        test_ds: Optional[ArrayDataset] = None, mesh=None,
+        batch_hook: Optional[Callable] = None, output_dir: str = "",
+        patience: Optional[int] = None, logger=None,
+        save_best: bool = True) -> Dict:
+    """Run the full training loop; returns {state, best, val/test metrics}."""
+    logger = logger or create_logger(output_dir)
+    batch_size = cfg.DATA.BATCH_SIZE
+    rng = jax.random.PRNGKey(cfg.SEED)
+    stopper = EarlyStopper(patience=patience or cfg.TRAIN.EARLY_STOP_PATIENCE)
+    best_state = state
+    history = []
+
+    for epoch in range(cfg.TRAIN.START_EPOCH, cfg.TRAIN.EPOCHS):
+        t_epoch = time.time()
+        loss_meter, speed_meter = AverageMeter(), AverageMeter()
+        for it, batch in enumerate(train_batches(train_ds, batch_size, epoch,
+                                                 cfg.SEED)):
+            if batch_hook is not None:
+                batch = batch_hook(batch, epoch, it)
+            t0 = time.time()
+            b = shard_batch(mesh, batch) if mesh is not None else batch
+            state, metrics = train_step(state, b, rng)
+            if it % cfg.PRINT_FREQ == 0:
+                loss = float(metrics["loss"])   # forces sync — only on print
+                loss_meter.update(loss, batch_size)
+                speed_meter.update(batch_size / max(time.time() - t0, 1e-9))
+                logger.info(
+                    f"epoch {epoch} it {it}: loss {loss:.4f} "
+                    f"({speed_meter.val:.1f} samples/s)")
+
+        val_metrics = run_eval(eval_step, state, val_ds, batch_size, mesh)
+        history.append({"epoch": epoch, **val_metrics})
+        logger.info(f"epoch {epoch} VAL  {format_metrics(val_metrics)} "
+                    f"({time.time() - t_epoch:.1f}s)")
+
+        if stopper.update(val_metrics["f1"], epoch):
+            best_state = state
+            if save_best and output_dir:
+                save_checkpoint(output_dir, epoch,
+                                {"params": jax.device_get(state.params),
+                                 "batch_stats": jax.device_get(state.batch_stats),
+                                 "epoch": epoch,
+                                 "best_f1": val_metrics["f1"]},
+                                best=True)
+        if stopper.should_stop:
+            logger.info(f"early stop at epoch {epoch} "
+                        f"(best f1 {stopper.best:.4f} @ {stopper.best_epoch})")
+            break
+
+    out = {"state": best_state, "best_f1": stopper.best,
+           "best_epoch": stopper.best_epoch, "history": history}
+    if test_ds is not None:
+        test_metrics = run_eval(eval_step, best_state, test_ds, batch_size, mesh)
+        logger.info(f"TEST {format_metrics(test_metrics)}")
+        out["test_metrics"] = test_metrics
+    return out

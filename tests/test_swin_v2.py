@@ -1,0 +1,144 @@
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mvuld_tpu.models.swin_convert import interpolate_bias_table, swinv2_torch_to_flax
+from mvuld_tpu.models.swin_v2 import (SwinTransformerV2, SwinV2Config,
+                                      relative_coords_table,
+                                      relative_position_index,
+                                      shifted_window_mask, window_partition,
+                                      window_reverse)
+
+TINY = SwinV2Config(img_size=32, patch_size=4, in_chans=3, num_classes=2,
+                    embed_dim=16, depths=(1, 2), num_heads=(2, 4),
+                    window_size=4, drop_rate=0.0, attn_drop_rate=0.0,
+                    drop_path_rate=0.0)
+
+
+def test_window_partition_roundtrip():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 8, 3).astype(np.float32))
+    w = window_partition(x, 4)
+    assert w.shape == (2 * 4, 16, 3)
+    back = window_reverse(w, 4, 8, 8)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_relative_geometry():
+    tbl = relative_coords_table(4, 0)
+    assert tbl.shape == (49, 2)
+    # log-scaled: max = log2(8·(ws-1)/(ws-1) + 1)/log2(8) = log2(9)/3 ≈ 1.057
+    assert np.abs(tbl).max() <= np.log2(9.0) / 3.0 + 1e-6
+    idx = relative_position_index(4)
+    assert idx.shape == (16, 16)
+    assert idx.min() >= 0 and idx.max() < 49
+    assert idx[0, 0] == idx[5, 5]               # same relative offset
+
+
+def test_shift_mask():
+    m = shifted_window_mask(8, 8, 4, 2)
+    assert m.shape == (4, 16, 16)
+    assert set(np.unique(m)) <= {0.0, -100.0}
+    assert shifted_window_mask(8, 8, 4, 0) is None
+
+
+def test_forward_shapes():
+    model = SwinTransformerV2(TINY)
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    logits = model.apply(variables, x)
+    assert logits.shape == (2, 2)
+    feats = model.apply(variables, x, return_features=True)
+    assert feats.shape == (2, TINY.num_features)
+
+
+def _stub_timm():
+    """Provide the three timm.models.layers symbols the reference module
+    imports, so it can run read-only for parity checking."""
+    import torch
+    import torch.nn as tnn
+    layers = types.ModuleType("timm.models.layers")
+
+    class DropPath(tnn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            return x
+
+    def to_2tuple(v):
+        return v if isinstance(v, tuple) else (v, v)
+
+    def trunc_normal_(t, std=1.0, **kw):
+        return tnn.init.trunc_normal_(t, std=std)
+
+    layers.DropPath = DropPath
+    layers.to_2tuple = to_2tuple
+    layers.trunc_normal_ = trunc_normal_
+    timm = types.ModuleType("timm")
+    models = types.ModuleType("timm.models")
+    models.layers = layers
+    timm.models = models
+    sys.modules.setdefault("timm", timm)
+    sys.modules.setdefault("timm.models", models)
+    sys.modules.setdefault("timm.models.layers", layers)
+
+
+@pytest.fixture(scope="module")
+def reference_swin():
+    torch = pytest.importorskip("torch")
+    _stub_timm()
+    sys.path.insert(0, "/root/reference/mvuld/models")
+    import importlib
+    ref_mod = importlib.import_module("swin_transformer_v2")
+    torch.manual_seed(0)
+    model = ref_mod.SwinTransformerV2(
+        img_size=32, patch_size=4, in_chans=3, num_classes=2, embed_dim=16,
+        depths=[1, 2], num_heads=[2, 4], window_size=4, drop_rate=0.0,
+        attn_drop_rate=0.0, drop_path_rate=0.0,
+        pretrained_window_sizes=[0, 0]).eval()
+    return torch, model
+
+
+def test_parity_with_reference_torch(reference_swin):
+    """Convert the reference torch SwinV2 (random init) and compare logits.
+    This validates windows, shift masks, cosine attention, CPB MLP, merging,
+    and the converter in one shot."""
+    torch, ref = reference_swin
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        want_logits = ref(torch.tensor(x)).numpy()
+        want_feats = ref.forward_features(torch.tensor(x)).numpy()
+
+    params = {"params": swinv2_torch_to_flax(ref.state_dict(), TINY,
+                                             strict_head=True)}
+    model = SwinTransformerV2(TINY)
+    x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+    got_feats = np.asarray(model.apply(params, x_nhwc, return_features=True))
+    np.testing.assert_allclose(got_feats, want_feats, atol=3e-5, rtol=1e-4)
+    got_logits = np.asarray(model.apply(params, x_nhwc))
+    np.testing.assert_allclose(got_logits, want_logits, atol=3e-5, rtol=1e-4)
+
+
+def test_head_reinit_on_class_mismatch(reference_swin):
+    torch, ref = reference_swin
+    cfg5 = SwinV2Config(**{**TINY.__dict__, "num_classes": 5})
+    params = swinv2_torch_to_flax(ref.state_dict(), cfg5)
+    assert params["head"]["kernel"].shape == (TINY.num_features, 5)
+
+
+def test_bias_table_interpolation_shape():
+    rng = np.random.RandomState(0)
+    tbl = rng.randn((2 * 12 - 1) ** 2, 4).astype(np.float32)
+    out = interpolate_bias_table(tbl, 12, 28)
+    assert out.shape == ((2 * 28 - 1) ** 2, 4)
+    # identity when windows match scale: interpolating to the same size
+    same = interpolate_bias_table(tbl, 12, 12)
+    np.testing.assert_allclose(same, tbl, atol=1e-5)
