@@ -1,0 +1,174 @@
+"""Offline feature caches for the fusion trainer.
+
+The reference stages its tri-modal pipeline through disk caches
+(SURVEY: cache_swin_features data_list.py:179-211, cache_g_items/item()
+265-317, unixcoder result.pkl): the fusion trainer then reads only cached
+tensors. This module rebuilds those caches TPU-style — consolidated npz per
+partition (pure array reads into HBM, no per-item pickle churn):
+
+  {part}.npz:
+    img_emb   [N, 1024]   SwinV2 forward_features of the rendered graph PNG
+    text_emb  [N, 768]    UniXcoder sentence embedding of the function
+    node_emb  [N, M, 768] UniXcoder per-line embeddings (M = MAX_NODES)
+    pos       [N, M, 4]   normalized node bboxes (renderer oracle or OCR)
+    adj       [N, M, M]   uint8 edge-type bitmask adjacency
+    node_mask [N, M], lineno [N, M], ntype [N, M]
+    label     [N], ids [N]
+
+Every stage is idempotent: images/pos/graph caches are only built if absent
+(the reference's filesystem-idempotence recovery model, SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def render_corpus(df, img_dir: str, pos_dir: str, gtype: str = "all",
+                  logger=None) -> Dict[int, str]:
+    """Render every function's CPG to PNG + norm-pos pickle (idempotent).
+    Returns {_id: img_path}; unparseable functions are dropped (the
+    reference's check_validity filter, getImages.py:22-51)."""
+    from mvuld_tpu.tools.cpg import extract_line_cpg
+    from mvuld_tpu.tools.render import render_cpg, save_norm_pos
+
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(pos_dir, exist_ok=True)
+    paths = {}
+    for _, row in df.iterrows():
+        _id = int(row._id)
+        img_path = os.path.join(img_dir, f"{_id}.png")
+        pos_path = os.path.join(pos_dir, f"{_id}.pkl")
+        if os.path.exists(img_path) and os.path.exists(pos_path):
+            paths[_id] = img_path
+            continue
+        cpg = extract_line_cpg(row.func_before)
+        if cpg is None:
+            continue
+        g = cpg.filtered(gtype)
+        if len(g.nodes) < 2:
+            continue
+        _img, pos = render_cpg(g, out_path=img_path)
+        save_norm_pos(pos, pos_path)
+        paths[_id] = img_path
+    if logger:
+        logger.info(f"rendered {len(paths)}/{len(df)} graphs → {img_dir}")
+    return paths
+
+
+def build_fusion_cache(df, cache_dir: str, cfg, *, text_encoder=None,
+                       swin_encoder=None, tokenizer=None,
+                       logger=None) -> Dict[str, str]:
+    """Build {part}.npz caches for all partitions present in ``df``.
+
+    ``text_encoder`` / ``swin_encoder``: callables ids→emb / images→emb.
+    When None, frozen random-init encoders are used (lets the graph-only and
+    pipeline tests run without trained checkpoints).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mvuld_tpu.data.graph_batch import pack_graph
+    from mvuld_tpu.data.transforms import load_image, resize_normalize
+    from mvuld_tpu.data.tokenizer import normalize_line
+    from mvuld_tpu.tools.cpg import extract_line_cpg
+    from mvuld_tpu.tools.render import load_norm_pos
+
+    os.makedirs(cache_dir, exist_ok=True)
+    img_dir = os.path.join(cache_dir, "imgs")
+    pos_dir = os.path.join(cache_dir, "pos")
+    paths = render_corpus(df, img_dir, pos_dir, cfg.DATA.GTYPE, logger)
+
+    M = cfg.DATA.MAX_NODES
+    out_paths = {}
+    for part in sorted(df.label.unique()):
+        npz_path = os.path.join(cache_dir, f"{part}.npz")
+        out_paths[part] = npz_path
+        if os.path.exists(npz_path):
+            continue
+        rows = df[df.label == part]
+        rows = rows[rows._id.isin(paths)]
+        n = len(rows)
+        text_dim = cfg.MODEL.MULTI.TEXT_DIM
+        img_dim = cfg.MODEL.MULTI.IMG_DIM
+        arrs = {
+            "img_emb": np.zeros((n, img_dim), np.float32),
+            "text_emb": np.zeros((n, text_dim), np.float32),
+            "node_emb": np.zeros((n, M, text_dim), np.float32),
+            "pos": np.zeros((n, M, 4), np.float32),
+            "adj": np.zeros((n, M, M), np.uint8),
+            "node_mask": np.zeros((n, M), np.float32),
+            "lineno": np.zeros((n, M), np.int32),
+            "ntype": np.zeros((n, M), np.int32),
+            "label": rows.vul.to_numpy().astype(np.int32),
+            "ids": rows._id.to_numpy().astype(np.int64),
+        }
+        for i, (_, row) in enumerate(rows.iterrows()):
+            _id = int(row._id)
+            cpg = extract_line_cpg(row.func_before)
+            pos_dict = load_norm_pos(os.path.join(pos_dir, f"{_id}.pkl"))
+            pg = pack_graph(cpg, M, pos_dict=pos_dict, gtype=cfg.DATA.GTYPE)
+            arrs["pos"][i] = pg.pos
+            arrs["adj"][i] = pg.adj
+            arrs["node_mask"][i] = pg.mask
+            arrs["lineno"][i] = pg.lineno
+            arrs["ntype"][i] = pg.ntype
+
+            if text_encoder is not None and tokenizer is not None:
+                # whole-function embedding (cunixcoder result.pkl equivalent)
+                fids = tokenizer.tokenize([row.func_before],
+                                          max_length=cfg.DATA.FUNC_TOKENS)
+                arrs["text_emb"][i] = np.asarray(text_encoder(fids))[0]
+                # per-line node embeddings (myEncode, data_list.py:292-299)
+                lines = row.func_before.split("\n")
+                node_lines = [normalize_line(lines[ln - 1])
+                              if 1 <= ln <= len(lines) else ""
+                              for ln in pg.lineno[: pg.num_nodes]]
+                nids = tokenizer.tokenize(node_lines,
+                                          max_length=cfg.DATA.NODE_TOKENS)
+                arrs["node_emb"][i, : pg.num_nodes] = np.asarray(
+                    text_encoder(nids))
+
+            if swin_encoder is not None:
+                img = resize_normalize(
+                    load_image(paths[_id]), cfg.DATA.IMG_SIZE)
+                arrs["img_emb"][i] = np.asarray(
+                    swin_encoder(img[None]))[0]
+        np.savez_compressed(npz_path, **arrs)
+        if logger:
+            logger.info(f"cached {n} items → {npz_path}")
+    return out_paths
+
+
+def make_random_encoders(cfg, seed: int = 0):
+    """Frozen random-projection 'encoders' for cache building without trained
+    checkpoints: deterministic hash-like features so the graph/pos modality
+    remains informative in tests."""
+    rng = np.random.RandomState(seed)
+    text_dim = cfg.MODEL.MULTI.TEXT_DIM
+    img_dim = cfg.MODEL.MULTI.IMG_DIM
+    Wt = rng.randn(4096, text_dim).astype(np.float32) / 64.0
+
+    def text_encoder(ids: np.ndarray) -> np.ndarray:
+        # bag-of-token-hash projection
+        out = np.zeros((ids.shape[0], text_dim), np.float32)
+        for i, row in enumerate(np.asarray(ids)):
+            toks = row[row > 2]
+            if len(toks):
+                out[i] = Wt[toks % 4096].mean(axis=0)
+        return out
+
+    Wi = rng.randn(64 * 64 * 3, img_dim).astype(np.float32) / 128.0
+
+    def swin_encoder(imgs: np.ndarray) -> np.ndarray:
+        import cv2
+        out = np.zeros((imgs.shape[0], img_dim), np.float32)
+        for i, im in enumerate(np.asarray(imgs)):
+            small = cv2.resize(im, (64, 64)).reshape(-1)
+            out[i] = small @ Wi
+        return out
+
+    return text_encoder, swin_encoder

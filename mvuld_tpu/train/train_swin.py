@@ -1,0 +1,180 @@
+"""SwinV2 fine-tune on rendered code-graph images — the main.py equivalent.
+
+Replicates the reference's image-encoder fine-tune path (mvuld/main.py:55-514):
+manifest datasets ("path label" txt), timm-style train augmentation +
+mixup/cutmix soft targets, CE with label smoothing, AdamW + cosine with the
+LR-scaling rule, grad clip 5.0, best-F1 early stop (patience 10), optional
+pretrained-checkpoint conversion (384→448 surgery), --throughput mode
+(warmup + timed iters, main.py:438-455).
+
+Usage:
+  python -m mvuld_tpu.train.train_swin --cfg cfg.yaml [--synthetic N]
+      [--pretrained swinv2.pth] [--test] [--throughput] [--opts ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_image_datasets(cfg, df, img_dir, pos_dir, logger):
+    """Render graphs (idempotent) and build train/val/test image datasets."""
+    from mvuld_tpu.data.loader import ArrayDataset
+    from mvuld_tpu.data.transforms import (load_image, resize_normalize,
+                                           train_transform)
+    from mvuld_tpu.train.precompute import render_corpus
+
+    paths = render_corpus(df, img_dir, pos_dir, cfg.DATA.GTYPE, logger)
+    size = cfg.DATA.IMG_SIZE
+    out = {}
+    for part in ("train", "val", "test"):
+        rows = df[(df.label == part) & df._id.isin(paths)]
+        if not len(rows):
+            continue
+        img_paths = [paths[int(i)] for i in rows._id]
+        labels = rows.vul.to_numpy().astype(np.int32)
+        if part == "train":
+            def tf(item, rng):
+                img = load_image(item["path"])
+                x = train_transform(img, size, rng,
+                                    cfg.AUG.COLOR_JITTER, cfg.AUG.REPROB)
+                return {"image": x, "label": item["label"]}
+        else:
+            def tf(item, rng):
+                x = resize_normalize(load_image(item["path"]), size)
+                return {"image": x, "label": item["label"]}
+        out[part] = ArrayDataset({"path": img_paths, "label": labels},
+                                 transform=tf)
+    return out
+
+
+def main(argv=None) -> dict:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", default=None)
+    parser.add_argument("--data", default=None)
+    parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--batch-size", dest="batch_size", type=int)
+    parser.add_argument("--pretrained", default=None)
+    parser.add_argument("--test", action="store_true")
+    parser.add_argument("--throughput", action="store_true")
+    parser.add_argument("--output", default=None)
+    parser.add_argument("--opts", nargs="+", default=None)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from mvuld_tpu.config import get_config
+    from mvuld_tpu.core.logger import create_logger
+    from mvuld_tpu.core.optim import build_optimizer
+    from mvuld_tpu.core.schedule import build_schedule
+    from mvuld_tpu.core.train_state import (TrainState, make_eval_step,
+                                            make_train_step)
+    from mvuld_tpu.data.loader import steps_per_epoch
+    from mvuld_tpu.data.transforms import mixup_cutmix
+    from mvuld_tpu.models.swin_v2 import SwinTransformerV2, SwinV2Config
+    from mvuld_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from mvuld_tpu.train.harness import fit, run_eval
+
+    cfg = get_config(args)
+    logger = create_logger(cfg.OUTPUT)
+
+    sc = SwinV2Config.from_cfg(cfg)
+    model = SwinTransformerV2(sc, use_checkpoint=cfg.TRAIN.USE_CHECKPOINT)
+    rng = jax.random.PRNGKey(cfg.SEED)
+    size = cfg.DATA.IMG_SIZE
+    variables = model.init(rng, jnp.zeros((2, size, size, 3), jnp.float32))
+    params = variables["params"]
+
+    if args.pretrained:
+        import torch
+        from mvuld_tpu.models.swin_convert import swinv2_torch_to_flax
+        ckpt = torch.load(args.pretrained, map_location="cpu")
+        sd = ckpt.get("model", ckpt)
+        params = swinv2_torch_to_flax(sd, sc)
+        logger.info(f"converted pretrained weights from {args.pretrained}")
+
+    # ---- throughput mode (reference: main.py:438-455)
+    if args.throughput or cfg.THROUGHPUT_MODE:
+        B = cfg.DATA.BATCH_SIZE
+
+        @jax.jit
+        def fwd(p, x):
+            return model.apply({"params": p}, x, deterministic=True)
+
+        x = jnp.asarray(np.random.RandomState(0).randn(B, size, size, 3),
+                        jnp.float32)
+        for _ in range(5):
+            y = fwd(params, x)
+        jax.block_until_ready(y)
+        t0 = time.time()
+        for _ in range(30):
+            y = fwd(params, x)
+        jax.block_until_ready(y)
+        dt = time.time() - t0
+        tp = 30 * B / dt
+        logger.info(f"throughput: {tp:.1f} images/s (batch {B})")
+        return {"throughput": tp}
+
+    # ---- data
+    if args.synthetic:
+        from mvuld_tpu.tools.dataset import prepare_corpus
+        from mvuld_tpu.tools.synthetic import generate_dataset
+        df = prepare_corpus(generate_dataset(args.synthetic, seed=cfg.SEED or 42))
+    else:
+        import pandas as pd
+        df = pd.read_pickle(args.data)
+    img_dir = os.path.join(cfg.OUTPUT, "cache", "imgs")
+    pos_dir = os.path.join(cfg.OUTPUT, "cache", "pos")
+    datasets = build_image_datasets(cfg, df, img_dir, pos_dir, logger)
+    logger.info(f"dataset sizes: { {k: len(v) for k, v in datasets.items()} }")
+
+    mesh = make_mesh(cfg.PARALLEL.DP, cfg.PARALLEL.MP)
+    spe = max(steps_per_epoch(len(datasets["train"]), cfg.DATA.BATCH_SIZE), 1)
+    schedule = build_schedule(cfg, spe, cfg.DATA.BATCH_SIZE)
+    tx = build_optimizer(cfg, schedule)
+    state = TrainState.create(params, tx)
+
+    def apply_fn(vs, batch, rngs, train, mutable=None):
+        return model.apply(vs, batch["image"], deterministic=not train,
+                           rngs=rngs)
+
+    train_step = make_train_step(apply_fn, tx,
+                                 label_smoothing=0.0,  # folded into soft targets
+                                 donate=False)
+    eval_step = make_eval_step(apply_fn)
+
+    # batch-level mixup/cutmix producing soft targets (main.py:267-269)
+    mix_rng = np.random.RandomState(cfg.SEED + 1)
+    use_mix = cfg.AUG.MIXUP > 0 or cfg.AUG.CUTMIX > 0
+
+    def batch_hook(batch, epoch, it):
+        if use_mix:
+            images, soft = mixup_cutmix(
+                batch["image"], batch["label"], cfg.MODEL.NUM_CLASSES, mix_rng,
+                cfg.AUG.MIXUP, cfg.AUG.CUTMIX, cfg.AUG.MIXUP_PROB,
+                cfg.AUG.MIXUP_SWITCH_PROB, cfg.MODEL.LABEL_SMOOTHING)
+            return {**batch, "image": images, "soft_label": soft}
+        return batch
+
+    with mesh:
+        state = replicate(mesh, state)
+        if args.test or cfg.EVAL_MODE:
+            metrics = run_eval(eval_step, state, datasets["test"],
+                               cfg.DATA.BATCH_SIZE, mesh)
+            logger.info(f"TEST(only) {metrics}")
+            return {"test_metrics": metrics}
+        return fit(cfg=cfg, state=state, train_step=train_step,
+                   eval_step=eval_step, train_ds=datasets["train"],
+                   val_ds=datasets.get("val", datasets["train"]),
+                   test_ds=datasets.get("test"), mesh=mesh,
+                   batch_hook=batch_hook, output_dir=cfg.OUTPUT,
+                   patience=10, logger=logger)
+
+
+if __name__ == "__main__":
+    main()
