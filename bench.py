@@ -50,7 +50,7 @@ def main() -> None:
     cfg.TRAIN.WARMUP_EPOCHS = 5
 
     sc = SwinV2Config.from_cfg(cfg)
-    model = SwinTransformerV2(sc, use_checkpoint=True)
+    model = SwinTransformerV2(sc, use_checkpoint=True, scan_blocks=True)
 
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((BATCH, 448, 448, 3), jnp.float32)

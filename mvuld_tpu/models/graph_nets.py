@@ -123,6 +123,10 @@ class DenseGGNN(nn.Module):
         [B, R, N, N] float (src i → dst j)."""
         B, N, F = h.shape
         D = self.out_feats
+        if F > D:
+            raise ValueError(
+                f"GGNN requires in_feats ({F}) <= out_feats ({D}) — same "
+                "constraint as dgl.nn.GatedGraphConv")
         if F < D:
             h = jnp.pad(h, ((0, 0), (0, 0), (0, D - F)))
         msg_w = self.param("etype_w", nn.initializers.xavier_uniform(),

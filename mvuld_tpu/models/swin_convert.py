@@ -58,6 +58,29 @@ def interpolate_ape(ape: np.ndarray, src_patches: int, dst_patches: int
     return out.reshape(1, D * D, C)
 
 
+def to_scan_layout(params: Dict, config: SwinV2Config) -> Dict:
+    """Repack per-block params (``layers_{i}_blocks_{j}``) into the scanned
+    layout (``layers_{i}_scan/block{0,1}`` with a leading pair axis) used when
+    ``SwinTransformerV2(scan_blocks=True)``."""
+    import numpy as np
+
+    def tree_stack(trees):
+        import jax
+        return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *trees)
+
+    out = {k: v for k, v in params.items() if "_blocks_" not in k}
+    for i, depth in enumerate(config.depths):
+        if depth % 2 != 0 or depth < 2:
+            continue
+        evens = [params[f"layers_{i}_blocks_{2 * p}"] for p in range(depth // 2)]
+        odds = [params[f"layers_{i}_blocks_{2 * p + 1}"] for p in range(depth // 2)]
+        out[f"layers_{i}_scan"] = {"block0": tree_stack(evens),
+                                   "block1": tree_stack(odds)}
+        for j in range(depth):
+            out.pop(f"layers_{i}_blocks_{j}", None)
+    return out
+
+
 def swinv2_torch_to_flax(state_dict: Mapping[str, object], config: SwinV2Config,
                          strict_head: bool = False) -> Dict:
     """Map a torch SwinV2 ``state_dict`` (reference module layout,

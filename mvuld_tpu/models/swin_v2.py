@@ -147,18 +147,23 @@ def window_reverse(x: jnp.ndarray, window: int, H: int, W: int) -> jnp.ndarray:
 # --------------------------------------------------------------------------- #
 
 class DropPath(nn.Module):
-    """Per-sample stochastic depth."""
+    """Per-sample stochastic depth. ``rate`` may be overridden by a traced
+    call-time value (needed when blocks run under lax.scan with per-block
+    rates as scanned inputs)."""
 
     rate: float
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        if deterministic or self.rate == 0.0:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 rate: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if deterministic or (rate is None and self.rate == 0.0):
             return x
-        keep = 1.0 - self.rate
+        keep = 1.0 - (self.rate if rate is None else rate)
+        keep = jnp.asarray(keep, jnp.float32)
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(self.make_rng("dropout"), keep, shape)
-        return jnp.where(mask, x / keep, 0.0)
+        # keep the carry dtype stable under lax.scan (bf16 in, bf16 out)
+        return jnp.where(mask, x / keep.astype(x.dtype), jnp.zeros((), x.dtype))
 
 
 class MlpBlock(nn.Module):
@@ -267,7 +272,8 @@ class SwinBlockV2(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 drop_path_rate: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         Hr, Wr = self.input_resolution
         window, shift = self.window_size, self.shift_size
         # clamp window to resolution (reference: :216-219)
@@ -289,13 +295,49 @@ class SwinBlockV2(nn.Module):
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = x.reshape(B, L, C)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        x = shortcut + DropPath(self.drop_path, name="drop_path1")(x, deterministic)
+        x = shortcut + DropPath(self.drop_path, name="drop_path1")(
+            x, deterministic, rate=drop_path_rate)
 
         y = MlpBlock(int(C * self.mlp_ratio), C, self.drop, dtype=self.dtype,
                      name="mlp")(x, deterministic)
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(y)
-        x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path2")(
+            y, deterministic, rate=drop_path_rate)
         return x
+
+
+class BlockPair(nn.Module):
+    """One (no-shift, shift) block pair — the repeating unit of a Swin stage.
+    Under nn.scan this gives O(1) HLO size per stage instead of O(depth): the
+    18-block stage of SwinV2-Base compiles as ONE pair scanned 9 times, which
+    cuts whole-model compile time by ~an order of magnitude."""
+
+    dim: int
+    input_resolution: Tuple[int, int]
+    num_heads: int
+    window_size: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    pretrained_window_size: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, dp_rates: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        common = dict(dim=self.dim, input_resolution=self.input_resolution,
+                      num_heads=self.num_heads, window_size=self.window_size,
+                      mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                      drop=self.drop, attn_drop=self.attn_drop,
+                      pretrained_window_size=self.pretrained_window_size,
+                      dtype=self.dtype)
+        x = SwinBlockV2(**common, shift_size=0, name="block0")(
+            x, deterministic, drop_path_rate=dp_rates[0])
+        x = SwinBlockV2(**common, shift_size=self.window_size // 2,
+                        name="block1")(
+            x, deterministic, drop_path_rate=dp_rates[1])
+        return x, None   # (carry, per-step output) for nn.scan
 
 
 class PatchMerging(nn.Module):
@@ -345,6 +387,7 @@ class SwinTransformerV2(nn.Module):
 
     config: SwinV2Config
     use_checkpoint: bool = False
+    scan_blocks: bool = False   # lax.scan over block pairs (fast compile)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
@@ -370,18 +413,42 @@ class SwinTransformerV2(nn.Module):
         for i_layer, depth in enumerate(c.depths):
             dim = int(c.embed_dim * 2 ** i_layer)
             resolution = (res // 2 ** i_layer, res // 2 ** i_layer)
-            for i_block in range(depth):
-                x = block_cls(
+            if self.scan_blocks and depth % 2 == 0 and depth >= 2:
+                n_pairs = depth // 2
+                rates = jnp.asarray(
+                    dpr[block_idx: block_idx + depth], jnp.float32
+                ).reshape(n_pairs, 2)
+                pair_cls = BlockPair
+                if self.use_checkpoint:
+                    pair_cls = nn.remat(BlockPair, static_argnums=(3,))
+                scanned = nn.scan(
+                    pair_cls,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    in_axes=(0, nn.broadcast),
+                    length=n_pairs)(
                     dim=dim, input_resolution=resolution,
-                    num_heads=c.num_heads[i_layer], window_size=c.window_size,
-                    shift_size=0 if i_block % 2 == 0 else c.window_size // 2,
-                    mlp_ratio=c.mlp_ratio, qkv_bias=c.qkv_bias,
-                    drop=c.drop_rate, attn_drop=c.attn_drop_rate,
-                    drop_path=float(dpr[block_idx]),
+                    num_heads=c.num_heads[i_layer],
+                    window_size=c.window_size, mlp_ratio=c.mlp_ratio,
+                    qkv_bias=c.qkv_bias, drop=c.drop_rate,
+                    attn_drop=c.attn_drop_rate,
                     pretrained_window_size=c.pretrained_window_sizes[i_layer],
-                    dtype=c.dtype,
-                    name=f"layers_{i_layer}_blocks_{i_block}")(x, deterministic)
-                block_idx += 1
+                    dtype=c.dtype, name=f"layers_{i_layer}_scan")
+                x, _ = scanned(x, rates, deterministic)
+                block_idx += depth
+            else:
+                for i_block in range(depth):
+                    x = block_cls(
+                        dim=dim, input_resolution=resolution,
+                        num_heads=c.num_heads[i_layer], window_size=c.window_size,
+                        shift_size=0 if i_block % 2 == 0 else c.window_size // 2,
+                        mlp_ratio=c.mlp_ratio, qkv_bias=c.qkv_bias,
+                        drop=c.drop_rate, attn_drop=c.attn_drop_rate,
+                        drop_path=float(dpr[block_idx]),
+                        pretrained_window_size=c.pretrained_window_sizes[i_layer],
+                        dtype=c.dtype,
+                        name=f"layers_{i_layer}_blocks_{i_block}")(x, deterministic)
+                    block_idx += 1
             if i_layer < len(c.depths) - 1:
                 x = PatchMerging(resolution, dim, dtype=c.dtype,
                                  name=f"layers_{i_layer}_downsample")(x)

@@ -134,6 +134,24 @@ def test_head_reinit_on_class_mismatch(reference_swin):
     assert params["head"]["kernel"].shape == (TINY.num_features, 5)
 
 
+def test_scan_blocks_parity():
+    """scan_blocks=True with repacked params must match the per-block model
+    exactly (it is the fast-compile path used by bench/production)."""
+    from mvuld_tpu.models.swin_convert import to_scan_layout
+
+    cfg = SwinV2Config(**{**TINY.__dict__, "depths": (2, 2), "num_heads": (2, 4)})
+    model = SwinTransformerV2(cfg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(model.apply(variables, x, return_features=True))
+
+    scan_model = SwinTransformerV2(cfg, scan_blocks=True)
+    scan_params = {"params": to_scan_layout(variables["params"], cfg)}
+    got = np.asarray(scan_model.apply(scan_params, x, return_features=True))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
 def test_bias_table_interpolation_shape():
     rng = np.random.RandomState(0)
     tbl = rng.randn((2 * 12 - 1) ** 2, 4).astype(np.float32)
