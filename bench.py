@@ -28,6 +28,9 @@ ITERS = 20
 
 def main() -> None:
     import jax
+
+    from mvuld_tpu.parallel.mesh import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 

@@ -194,6 +194,7 @@ class WindowAttentionV2(nn.Module):
     proj_drop: float = 0.0
     pretrained_window_size: int = 0
     dtype: Any = jnp.float32
+    use_pallas: bool = False   # fused Pallas kernel (TPU) for the attention core
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[np.ndarray] = None,
@@ -219,13 +220,7 @@ class WindowAttentionV2(nn.Module):
             "logit_scale",
             lambda _key, shape: jnp.full(shape, float(np.log(10.0))),
             (H, 1, 1))
-        q = q / jnp.maximum(jnp.linalg.norm(q.astype(jnp.float32), axis=-1,
-                                            keepdims=True), 1e-12).astype(self.dtype)
-        k = k / jnp.maximum(jnp.linalg.norm(k.astype(jnp.float32), axis=-1,
-                                            keepdims=True), 1e-12).astype(self.dtype)
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
         scale = jnp.exp(jnp.minimum(logit_scale, float(np.log(100.0))))
-        attn = attn * scale
 
         # continuous relative position bias (:159-164): 2→512→H MLP over the
         # log-spaced coords table, 16·sigmoid, gathered by position index
@@ -237,18 +232,31 @@ class WindowAttentionV2(nn.Module):
         idx = jnp.asarray(relative_position_index(self.window_size).reshape(-1))
         bias = cpb[idx].reshape(N, N, H).transpose(2, 0, 1)       # [H, N, N]
         bias = 16.0 * jax.nn.sigmoid(bias)
-        attn = attn + bias[None]
 
-        if mask is not None:
-            nW = mask.shape[0]
-            m = jnp.asarray(mask)                                  # [nW, N, N]
-            attn = attn.reshape(Bn // nW, nW, H, N, N) + m[None, :, None]
-            attn = attn.reshape(Bn, H, N, N)
+        if self.use_pallas and self.attn_drop == 0.0:
+            # fused VMEM-resident attention (mvuld_tpu/ops/window_attention.py)
+            from mvuld_tpu.ops.window_attention import window_attention
+            out = window_attention(q, k, v, bias, scale.reshape(H), mask=mask)
+            out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
+        else:
+            q = q / jnp.maximum(jnp.linalg.norm(q.astype(jnp.float32), axis=-1,
+                                                keepdims=True), 1e-12).astype(self.dtype)
+            k = k / jnp.maximum(jnp.linalg.norm(k.astype(jnp.float32), axis=-1,
+                                                keepdims=True), 1e-12).astype(self.dtype)
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
+            attn = attn * scale
+            attn = attn + bias[None]
 
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(self.dtype), v)
-        out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
+            if mask is not None:
+                nW = mask.shape[0]
+                m = jnp.asarray(mask)                              # [nW, N, N]
+                attn = attn.reshape(Bn // nW, nW, H, N, N) + m[None, :, None]
+                attn = attn.reshape(Bn, H, N, N)
+
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(self.dtype), v)
+            out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
         out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
@@ -270,6 +278,7 @@ class SwinBlockV2(nn.Module):
     drop_path: float = 0.0
     pretrained_window_size: int = 0
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
@@ -289,7 +298,8 @@ class SwinBlockV2(nn.Module):
         attn = WindowAttentionV2(
             self.dim, window, self.num_heads, self.qkv_bias,
             self.attn_drop, self.drop, self.pretrained_window_size,
-            dtype=self.dtype, name="attn")(xw, mask, deterministic)
+            dtype=self.dtype, use_pallas=self.use_pallas,
+            name="attn")(xw, mask, deterministic)
         x = window_reverse(attn, window, Hr, Wr)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
@@ -322,6 +332,7 @@ class BlockPair(nn.Module):
     attn_drop: float = 0.0
     pretrained_window_size: int = 0
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, dp_rates: jnp.ndarray,
@@ -331,7 +342,7 @@ class BlockPair(nn.Module):
                       mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                       drop=self.drop, attn_drop=self.attn_drop,
                       pretrained_window_size=self.pretrained_window_size,
-                      dtype=self.dtype)
+                      dtype=self.dtype, use_pallas=self.use_pallas)
         x = SwinBlockV2(**common, shift_size=0, name="block0")(
             x, deterministic, drop_path_rate=dp_rates[0])
         x = SwinBlockV2(**common, shift_size=self.window_size // 2,
@@ -388,6 +399,7 @@ class SwinTransformerV2(nn.Module):
     config: SwinV2Config
     use_checkpoint: bool = False
     scan_blocks: bool = False   # lax.scan over block pairs (fast compile)
+    use_pallas: bool = False    # fused Pallas window-attention kernel (TPU)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
@@ -433,7 +445,8 @@ class SwinTransformerV2(nn.Module):
                     qkv_bias=c.qkv_bias, drop=c.drop_rate,
                     attn_drop=c.attn_drop_rate,
                     pretrained_window_size=c.pretrained_window_sizes[i_layer],
-                    dtype=c.dtype, name=f"layers_{i_layer}_scan")
+                    dtype=c.dtype, use_pallas=self.use_pallas,
+                    name=f"layers_{i_layer}_scan")
                 x, _ = scanned(x, rates, deterministic)
                 block_idx += depth
             else:
@@ -446,7 +459,7 @@ class SwinTransformerV2(nn.Module):
                         drop=c.drop_rate, attn_drop=c.attn_drop_rate,
                         drop_path=float(dpr[block_idx]),
                         pretrained_window_size=c.pretrained_window_sizes[i_layer],
-                        dtype=c.dtype,
+                        dtype=c.dtype, use_pallas=self.use_pallas,
                         name=f"layers_{i_layer}_blocks_{i_block}")(x, deterministic)
                     block_idx += 1
             if i_layer < len(c.depths) - 1:

@@ -1,0 +1,156 @@
+"""Pallas TPU kernel: fused SwinV2 cosine window attention.
+
+The hot loop of the image backbone (SURVEY §3.1: WindowAttention.forward is
+the innermost hot loop; 784-token windows at 448²). The XLA composition
+materializes the [B·nW, H, N, N] attention tensor in HBM between softmax and
+the value matmul — at batch 8, stage 1, that is ~630 MB of HBM traffic per
+block. This kernel keeps the whole window-attention computation in VMEM:
+per (window, head) grid cell it loads q/k/v [N, hd], L2-normalizes in fp32,
+forms scores + continuous-position bias (+ shift mask), softmaxes, and
+multiplies by v — one HBM read of q/k/v and one write of the output.
+
+A custom VJP recomputes attention with XLA ops on the backward pass (the
+standard recompute trade: forward saves the HBM roundtrip where it runs most
+— eval, feature precompute, and the forward half of training).
+
+Shapes: q,k,v [Bn, H, N, hd]; bias [H, N, N] (already 16·sigmoid(cpb));
+mask [nW, N, N] additive shift mask or None; logit_scale [H] (already
+exp-clamped). The mask is a host constant → closed over, not traced.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel_masked(q_ref, k_ref, v_ref, bias_ref, scale_ref, mask_ref, o_ref):
+    _attn_body(q_ref, k_ref, v_ref, bias_ref, scale_ref, o_ref,
+               mask=mask_ref[0])
+
+
+def _kernel_nomask(q_ref, k_ref, v_ref, bias_ref, scale_ref, o_ref):
+    _attn_body(q_ref, k_ref, v_ref, bias_ref, scale_ref, o_ref, mask=None)
+
+
+def _attn_body(q_ref, k_ref, v_ref, bias_ref, scale_ref, o_ref, mask):
+    q = q_ref[0, 0].astype(jnp.float32)                 # [N, hd]
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0]
+    q = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
+    k = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    s = s * scale_ref[0, 0, 0] + bias_ref[0].astype(jnp.float32)
+    if mask is not None:
+        s = s + mask.astype(jnp.float32)
+    s = jax.nn.softmax(s, axis=-1)
+    o_ref[0, 0] = jnp.dot(s.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def pallas_window_attention(q, k, v, bias, logit_scale,
+                            mask: Optional[np.ndarray] = None,
+                            interpret: bool = False):
+    """Raw fused forward (no VJP)."""
+    Bn, H, N, hd = q.shape
+    qkv_spec = pl.BlockSpec((1, 1, N, hd), lambda b, h: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, N, N), lambda b, h: (h, 0, 0),
+                             memory_space=pltpu.VMEM)
+    scale_spec = pl.BlockSpec((1, 1, 1), lambda b, h: (h, 0, 0),
+                              memory_space=pltpu.VMEM)
+    scale = jnp.asarray(logit_scale, jnp.float32).reshape(H, 1, 1)
+    in_specs = [qkv_spec, qkv_spec, qkv_spec, bias_spec, scale_spec]
+    args = [q, k, v, bias, scale]
+    if mask is not None:
+        nW = mask.shape[0]
+        in_specs.append(pl.BlockSpec((1, N, N), lambda b, h: (b % nW, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(mask))
+        kernel = _kernel_masked
+    else:
+        kernel = _kernel_nomask
+    return pl.pallas_call(
+        kernel,
+        grid=(Bn, H),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, N, hd), lambda b, h: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * Bn * H * N * N * hd,
+            bytes_accessed=Bn * H * N * hd * 3 * 2 + H * N * N * 4,
+            transcendentals=Bn * H * N * N,
+        ),
+    )(*args)
+
+
+def window_attention_reference(q, k, v, bias, logit_scale,
+                               mask: Optional[np.ndarray] = None):
+    """Plain-XLA composition (backward pass, tests, non-TPU backends)."""
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    qf = qf / jnp.sqrt(jnp.sum(qf * qf, axis=-1, keepdims=True) + 1e-12)
+    kf = kf / jnp.sqrt(jnp.sum(kf * kf, axis=-1, keepdims=True) + 1e-12)
+    s = jnp.einsum("bhnd,bhmd->bhnm", qf, kf)
+    s = s * jnp.asarray(logit_scale, jnp.float32)[None, :, None, None]
+    s = s + bias[None].astype(jnp.float32)
+    if mask is not None:
+        Bn, H, N, _ = s.shape
+        nW = mask.shape[0]
+        s = s.reshape(Bn // nW, nW, H, N, N) + jnp.asarray(mask)[None, :, None].astype(jnp.float32)
+        s = s.reshape(Bn, H, N, N)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v)
+
+
+@functools.lru_cache(maxsize=None)
+def make_window_attention(mask_key: Optional[int] = None):
+    """Build a custom-VJP window attention closed over a static mask.
+
+    ``mask_key`` is an identity key into _MASK_STORE (masks are host
+    constants; custom_vjp cannot take them as traced nondiff args).
+    """
+    mask = _MASK_STORE.get(mask_key) if mask_key is not None else None
+
+    @jax.custom_vjp
+    def attn(q, k, v, bias, logit_scale):
+        return pallas_window_attention(q, k, v, bias, logit_scale, mask)
+
+    def fwd(q, k, v, bias, logit_scale):
+        return attn(q, k, v, bias, logit_scale), (q, k, v, bias, logit_scale)
+
+    def bwd(res, g):
+        q, k, v, bias, logit_scale = res
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_, b_, s_: window_attention_reference(
+                q_, k_, v_, b_, s_, mask), q, k, v, bias, logit_scale)
+        return vjp(g)
+
+    attn.defvjp(fwd, bwd)
+    return attn
+
+
+_MASK_STORE: dict = {}
+
+
+def register_mask(mask: Optional[np.ndarray]) -> Optional[int]:
+    if mask is None:
+        return None
+    key = hash(mask.tobytes())
+    _MASK_STORE[key] = np.asarray(mask)
+    return key
+
+
+def window_attention(q, k, v, bias, logit_scale,
+                     mask: Optional[np.ndarray] = None):
+    """Fused window attention with autodiff (Pallas fwd, XLA-recompute bwd)."""
+    return make_window_attention(register_mask(mask))(q, k, v, bias,
+                                                      logit_scale)

@@ -58,3 +58,14 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
 def replicate(mesh: Mesh, tree: Any) -> Any:
     rep = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
+
+def enable_compile_cache(path: str = "/tmp/mvuld_jax_cache") -> None:
+    """Persistent XLA compilation cache — repeated runs of the same program
+    (bench, dryrun, trainers) skip the multi-minute TPU compile."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass

@@ -97,4 +97,14 @@ def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
         test_metrics = run_eval(eval_step, best_state, test_ds, batch_size, mesh)
         logger.info(f"TEST {format_metrics(test_metrics)}")
         out["test_metrics"] = test_metrics
+    if output_dir:
+        # persist the metric history (the reference's LogWriter pickle/TB
+        # equivalent, baselines/utils/my_log.py:67-191)
+        import json
+        import os
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, "history.json"), "w") as f:
+            json.dump({"history": history, "best_f1": stopper.best,
+                       "best_epoch": stopper.best_epoch,
+                       "test_metrics": out.get("test_metrics")}, f, indent=1)
     return out
