@@ -93,6 +93,57 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def make_multi_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
+                          num_steps: int, label_smoothing: float = 0.1,
+                          has_batch_stats: bool = False,
+                          donate: bool = True) -> Callable:
+    """K fused optimizer steps in ONE jitted call via lax.scan.
+
+    Step fusion amortizes per-dispatch overhead (host→device RPC latency —
+    significant on remote/tunneled accelerators and multi-host setups) and
+    lets XLA overlap the tail of step k with the head of step k+1. The
+    returned function takes a superbatch whose leaves have a leading
+    [num_steps] axis (one microbatch per fused step) and returns
+    (state, stacked_metrics).
+    """
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params}
+        if has_batch_stats:
+            variables["batch_stats"] = batch_stats
+            logits, mutated = apply_fn(variables, batch, rngs={"dropout": rng},
+                                       train=True, mutable=["batch_stats"])
+            new_stats = mutated["batch_stats"]
+        else:
+            logits = apply_fn(variables, batch, rngs={"dropout": rng},
+                              train=True)
+            new_stats = batch_stats
+        loss = cross_entropy(logits, batch["label"], label_smoothing,
+                             batch.get("soft_label"))
+        return loss, (logits, new_stats)
+
+    def body(carry, batch):
+        state, rng = carry
+        step_rng = jax.random.fold_in(rng, state.step)
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   step_rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss,
+                   "acc": (logits.argmax(-1) == batch["label"]).mean()}
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=new_opt, batch_stats=new_stats)
+        return (new_state, rng), metrics
+
+    def multi_step(state: TrainState, superbatch: Dict, rng):
+        (state, _), metrics = jax.lax.scan(body, (state, rng), superbatch,
+                                           length=num_steps)
+        return state, metrics
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(apply_fn: Callable, has_batch_stats: bool = False) -> Callable:
     def eval_step(state: TrainState, batch: Dict) -> jnp.ndarray:
         variables = {"params": state.params}

@@ -1,0 +1,72 @@
+"""End-to-end trainable tri-modal model — all encoders in ONE XLA graph.
+
+The reference stages its pipeline through disk caches and trains only the
+fusion head over frozen embeddings (SURVEY §1: "the tri-modal pipeline is
+staged through on-disk caches, not an end-to-end graph"). On TPU there is no
+reason for that split: this module traces UniXcoder (function + per-line),
+SwinV2 (rendered image), and the fusion head into a single jitted training
+step, so gradients reach every encoder. The staged mode remains available
+(train_fusion.py) — this is the idiomatic upgrade, not a replacement.
+
+Inputs:
+  func_ids  [B, T]        whole-function token ids
+  node_ids  [B, N, Tn]    per-line token ids
+  image     [B, S, S, 3]  rendered graph (normalized)
+  pos       [B, N, 4], adj [B, N, N] bool, node_mask [B, N]
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mvuld_tpu.models.fusion_zoo import MultiDefectAblation
+from mvuld_tpu.models.roberta import RobertaConfig, RobertaEncoder, masked_mean
+from mvuld_tpu.models.swin_v2 import SwinTransformerV2, SwinV2Config
+
+
+class EndToEndMVulD(nn.Module):
+    text_config: RobertaConfig
+    swin_config: SwinV2Config
+    hidden: int = 512
+    num_classes: int = 2
+    num_rs_gcn: int = 8
+    num_hidden: int = 8
+    use_pallas: bool = False
+    scan_blocks: bool = False
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, func_ids, node_ids, image, pos, adj, node_mask,
+                 train: bool = False):
+        tc = self.text_config
+        encoder = RobertaEncoder(tc, remat=self.remat, name="text_encoder")
+
+        # whole-function sentence embedding
+        fmask = (func_ids != tc.pad_token_id).astype(jnp.int32)
+        ftok = encoder(func_ids, fmask, deterministic=not train)
+        text_emb = masked_mean(ftok, fmask)                      # [B, H]
+
+        # per-line node embeddings through the SAME encoder
+        B, N, Tn = node_ids.shape
+        flat = node_ids.reshape(B * N, Tn)
+        nmask = (flat != tc.pad_token_id).astype(jnp.int32)
+        ntok = encoder(flat, nmask, deterministic=not train)
+        node_emb = masked_mean(ntok, nmask).reshape(B, N, -1)    # [B, N, H]
+        node_emb = node_emb * node_mask[..., None]
+
+        # image embedding
+        img_emb = SwinTransformerV2(
+            self.swin_config, use_checkpoint=self.remat,
+            scan_blocks=self.scan_blocks, use_pallas=self.use_pallas,
+            name="swin")(image, deterministic=not train, return_features=True)
+
+        fusion = MultiDefectAblation(
+            num_classes=self.num_classes, hidden=self.hidden,
+            img_dim=self.swin_config.num_features, text_dim=tc.hidden_size,
+            num_rs_gcn=self.num_rs_gcn, num_hidden=self.num_hidden,
+            name="fusion")
+        return fusion(img_emb=img_emb, text_emb=text_emb, node_emb=node_emb,
+                      pos=pos, adj=adj, node_mask=node_mask, train=train)

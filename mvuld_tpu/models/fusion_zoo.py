@@ -118,6 +118,10 @@ class GraphBranch(nn.Module):
         h = h * node_mask[..., None]
 
         if self.use_pos:
+            assert self.hidden > 32, (
+                "GraphBranch reserves 32 dims for the bbox projection "
+                "(fc_bbox 4→32, reference GraphModel.py:186-189); "
+                f"hidden={self.hidden} must be > 32")
             # BatchNorm1d(max_node): statistics per NODE POSITION over
             # (batch, features) — the reference's quirky-but-load-bearing
             # bn_gat/bn_bbox (GraphModel.py:142-145, 186-189)

@@ -94,7 +94,10 @@ def main(argv=None) -> dict:
     else:
         import pandas as pd
         df = pd.read_pickle(args.data)
-    tok = get_or_train_tokenizer(df, args.tokenizer)
+    # tokenizer persists next to the run so downstream stages (fusion caches,
+    # patch eval) tokenize identically
+    tok_path = args.tokenizer or os.path.join(cfg.OUTPUT, "tokenizer.json")
+    tok = get_or_train_tokenizer(df, tok_path)
 
     u = cfg.MODEL.UNIXCODER
     rcfg = RobertaConfig(
@@ -172,6 +175,8 @@ def main(argv=None) -> dict:
             with open(args.save_embeddings, "wb") as f:
                 pickle.dump(reprs, f)
             logger.info(f"saved {len(reprs)} embeddings → {args.save_embeddings}")
+    result["tokenizer"] = tok
+    result["roberta_config"] = rcfg
     return result
 
 
