@@ -105,10 +105,15 @@ class TransformerLayer(nn.Module):
 
 
 class RobertaEncoder(nn.Module):
-    """Embeddings + transformer stack → last hidden state [B, T, H]."""
+    """Embeddings + transformer stack → last hidden state [B, T, H].
+
+    ``causal=True`` adds a lower-triangular mask — the reference's
+    decoder-only mode (UniXcoder registers a tril bias buffer,
+    unixcoder.py:113, used for generation)."""
 
     config: RobertaConfig
     remat: bool = False
+    causal: bool = False
 
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray,
@@ -130,6 +135,10 @@ class RobertaEncoder(nn.Module):
 
         # additive key-side mask, broadcast over heads and query positions
         attn_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9).astype(jnp.float32)
+        if self.causal:
+            T = input_ids.shape[-1]
+            tril = jnp.tril(jnp.ones((T, T), jnp.float32))
+            attn_bias = attn_bias + jnp.where(tril > 0, 0.0, -1e9)[None, None]
 
         layer_cls = nn.remat(TransformerLayer, static_argnums=(2,)) if self.remat else TransformerLayer
         for i in range(c.num_layers):

@@ -117,6 +117,48 @@ def write_manifests(df: pd.DataFrame, img_dir: str, out_dir: str,
     return paths["train"], paths["val"], paths["test"]
 
 
+class BigVulDataset:
+    """Corpus view with partition filter / sampling / vulnerable-only modes
+    (reference: baselines/utils/dclass.py BigVulDataset:11-138)."""
+
+    def __init__(self, df: pd.DataFrame, partition: str = "train",
+                 sample: int = -1, vulonly: bool = False, seed: int = 0,
+                 func_dir: str | None = None):
+        self.func_dir = func_dir
+        view = df[df.label == partition] if "label" in df else df
+        if vulonly:
+            view = view[view.vul == 1]
+        if sample > 0:
+            view = view.sample(min(sample, len(view)), random_state=seed)
+        self.df = view.reset_index(drop=True)
+        self.partition = partition
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    def itempath(self, _id: int) -> str:
+        """Path of the function's .c file (reference: dclass.py itempath →
+        processed/bigvul/func_before/{_id}.c)."""
+        from mvuld_tpu.tools.storage import processed_dir
+        base = self.func_dir or os.path.join(processed_dir(), "bigvul",
+                                             "func_before")
+        return os.path.join(base, f"{_id}.c")
+
+    def write_functions(self) -> None:
+        """Materialize {_id}.c files (the processJoern input layout)."""
+        for _, row in self.df.iterrows():
+            p = self.itempath(int(row._id))
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "w") as f:
+                f.write(row.func_before)
+
+    def stats(self) -> dict:
+        return {"n": len(self.df),
+                "vul": int(self.df.vul.sum()),
+                "nonvul": int((self.df.vul == 0).sum()),
+                "partition": self.partition}
+
+
 def read_manifest(path: str) -> pd.DataFrame:
     """Parse a "path label" manifest; _id recovered from the file stem."""
     recs = []
