@@ -58,6 +58,78 @@ def interpolate_ape(ape: np.ndarray, src_patches: int, dst_patches: int
     return out.reshape(1, D * D, C)
 
 
+def swinv1_torch_to_flax(state_dict: Mapping[str, object], config,
+                         strict_head: bool = False) -> Dict:
+    """Map a torch SwinV1 ``state_dict`` onto SwinTransformerV1 params,
+    bicubic-interpolating each block's relative_position_bias_table when the
+    checkpoint window differs from the target window — the load-bearing
+    384→448 surgery (reference: mvuld/utils.py:72-90)."""
+    import numpy as np
+
+    sd = {k: v for k, v in state_dict.items()
+          if "relative_position_index" not in k and "attn_mask" not in k}
+
+    def W(key):
+        return _np(sd[key])
+
+    def dense(key):
+        out = {"kernel": W(key + ".weight").T}
+        if key + ".bias" in sd:
+            out["bias"] = W(key + ".bias")
+        return out
+
+    def norm(key):
+        return {"scale": W(key + ".weight"), "bias": W(key + ".bias")}
+
+    params: Dict = {
+        "patch_embed": {
+            "proj": {"kernel": W("patch_embed.proj.weight").transpose(2, 3, 1, 0),
+                     "bias": W("patch_embed.proj.bias")}}}
+    if config.patch_norm:
+        params["patch_embed"]["norm"] = norm("patch_embed.norm")
+    for i, depth in enumerate(config.depths):
+        for j in range(depth):
+            p = f"layers.{i}.blocks.{j}."
+            table = W(p + "attn.relative_position_bias_table")
+            src_ws = (int(np.sqrt(table.shape[0])) + 1) // 2
+            if src_ws != config.window_size:
+                table = interpolate_bias_table(table, src_ws,
+                                               config.window_size)
+            params[f"layers_{i}_blocks_{j}"] = {
+                "norm1": norm(p + "norm1"),
+                "norm2": norm(p + "norm2"),
+                "attn": {
+                    "qkv": dense(p + "attn.qkv"),
+                    "proj": dense(p + "attn.proj"),
+                    "relative_position_bias_table": table,
+                },
+                "mlp": {"fc1": dense(p + "mlp.fc1"),
+                        "fc2": dense(p + "mlp.fc2")},
+            }
+        if i < len(config.depths) - 1:
+            d = f"layers.{i}.downsample."
+            params[f"layers_{i}_downsample"] = {
+                "reduction": {"kernel": W(d + "reduction.weight").T},
+                "norm": norm(d + "norm"),
+            }
+    params["norm"] = norm("norm")
+    if "head.weight" in sd:
+        head_w = W("head.weight")
+        if head_w.shape[0] == config.num_classes:
+            params["head"] = dense("head")
+        elif strict_head:
+            raise ValueError("head class-count mismatch")
+        else:
+            rng = np.random.RandomState(0)
+            fan_in, fan_out = head_w.shape[1], config.num_classes
+            limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
+            params["head"] = {
+                "kernel": rng.uniform(-limit, limit,
+                                      (fan_in, fan_out)).astype(np.float32),
+                "bias": np.zeros((fan_out,), np.float32)}
+    return params
+
+
 def to_scan_layout(params: Dict, config: SwinV2Config) -> Dict:
     """Repack per-block params (``layers_{i}_blocks_{j}``) into the scanned
     layout (``layers_{i}_scan/block{0,1}`` with a leading pair axis) used when

@@ -109,6 +109,40 @@ def relative_position_index(window_size: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def _bias_onehots(window_size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """One-hot matrices turning the CPB table into the [N, N] bias via two
+    MXU matmuls instead of a 614k-row gather (TPU gathers are scalar-slow;
+    this was ~75% of SwinV2-448 forward time). The bias is block-Toeplitz:
+    bias[(y1,x1),(y2,x2)] = B[y1-y2+W-1, x1-x2+W-1], so with
+    onehot[pair, d] = δ(Δ(pair)=d) over the W² ordered index pairs,
+    bias = einsum over the y-offset then the x-offset axes."""
+    ws = window_size
+    pairs = np.arange(ws)
+    delta = pairs[:, None] - pairs[None, :] + ws - 1          # [W, W]
+    onehot = np.zeros((ws * ws, 2 * ws - 1), np.float32)
+    onehot[np.arange(ws * ws), delta.reshape(-1)] = 1.0       # [W², 2W-1]
+    return onehot, onehot
+
+
+def relative_bias_from_table(cpb: jnp.ndarray, window_size: int) -> jnp.ndarray:
+    """[(2W-1)², H] CPB outputs → [H, W², W²] bias, gather-free."""
+    ws = window_size
+    T = 2 * ws - 1
+    H = cpb.shape[-1]
+    B2 = cpb.reshape(T, T, H)
+    oy, ox = _bias_onehots(ws)
+    oy = jnp.asarray(oy)          # [W², T] over (y1,y2) pairs
+    ox = jnp.asarray(ox)
+    # By[yp, s, h] = Σ_t oy[yp, t] B2[t, s, h]
+    By = jnp.einsum("pt,tsh->psh", oy, B2)
+    # C[yp, xp, h] = Σ_s ox[xp, s] By[yp, s, h]
+    C = jnp.einsum("psh,qs->pqh", By, ox)                     # [W², W², H]
+    C = C.reshape(ws, ws, ws, ws, H)                          # (y1,y2,x1,x2)
+    C = C.transpose(0, 2, 1, 3, 4)                            # (y1,x1,y2,x2)
+    return C.reshape(ws * ws, ws * ws, H).transpose(2, 0, 1)  # [H, N, N]
+
+
+@functools.lru_cache(maxsize=None)
 def shifted_window_mask(H: int, W: int, window: int, shift: int) -> Optional[np.ndarray]:
     """Additive attention mask [nW, W², W²] for shifted windows
     (reference: :233-252). None when shift == 0."""
@@ -229,8 +263,10 @@ class WindowAttentionV2(nn.Module):
         cpb = nn.Dense(512, name="cpb_fc1")(table)
         cpb = nn.relu(cpb)
         cpb = nn.Dense(H, use_bias=False, name="cpb_fc2")(cpb)   # [(2W-1)², H]
-        idx = jnp.asarray(relative_position_index(self.window_size).reshape(-1))
-        bias = cpb[idx].reshape(N, N, H).transpose(2, 0, 1)       # [H, N, N]
+        # gather-free block-Toeplitz expansion (two one-hot MXU matmuls);
+        # equals cpb[relative_position_index].reshape(N,N,H).transpose —
+        # the naive gather was the dominant forward cost at 448²
+        bias = relative_bias_from_table(cpb, self.window_size)     # [H, N, N]
         bias = 16.0 * jax.nn.sigmoid(bias)
 
         if self.use_pallas and self.attn_drop == 0.0:

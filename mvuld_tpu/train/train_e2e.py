@@ -1,0 +1,170 @@
+"""End-to-end tri-modal trainer: encoders + fusion in one jitted step.
+
+The TPU-idiomatic alternative to the staged cache pipeline (train_fusion):
+token ids and rendered images go straight into EndToEndMVulD
+(mvuld_tpu/models/e2e.py) and gradients reach UniXcoder, SwinV2, and the
+fusion head jointly.
+
+Usage:
+  python -m mvuld_tpu.train.train_e2e --synthetic N --output DIR [--opts ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_e2e_cache(df, cfg, tok, cache_path: str, img_size: int, logger=None):
+    """Token ids + resized images + graph arrays per partition (npz)."""
+    from mvuld_tpu.data.graph_batch import pack_graph
+    from mvuld_tpu.data.tokenizer import normalize_line
+    from mvuld_tpu.data.transforms import load_image, resize_normalize
+    from mvuld_tpu.tools.cpg import extract_line_cpg
+    from mvuld_tpu.tools.render import render_cpg, save_norm_pos, load_norm_pos
+    from mvuld_tpu.train.precompute import render_corpus
+
+    if os.path.exists(cache_path):
+        return dict(np.load(cache_path, allow_pickle=True))
+    img_dir = os.path.join(os.path.dirname(cache_path), "imgs")
+    pos_dir = os.path.join(os.path.dirname(cache_path), "pos")
+    paths = render_corpus(df, img_dir, pos_dir, cfg.DATA.GTYPE, logger)
+    M, T, Tn = cfg.DATA.MAX_NODES, cfg.DATA.FUNC_TOKENS, cfg.DATA.NODE_TOKENS
+    rows = df[df._id.isin(paths)]
+    n = len(rows)
+    arrs = {
+        "func_ids": np.full((n, T), tok.pad_id, np.int32),
+        "node_ids": np.full((n, M, Tn), tok.pad_id, np.int32),
+        "image": np.zeros((n, img_size, img_size, 3), np.float32),
+        "pos": np.zeros((n, M, 4), np.float32),
+        "adj": np.zeros((n, M, M), np.uint8),
+        "node_mask": np.zeros((n, M), np.float32),
+        "label": rows.vul.to_numpy().astype(np.int32),
+        "part": rows.label.to_numpy(),
+    }
+    for i, (_, row) in enumerate(rows.iterrows()):
+        _id = int(row._id)
+        cpg = extract_line_cpg(row.func_before)
+        pg = pack_graph(cpg, M, pos_dict=load_norm_pos(
+            os.path.join(pos_dir, f"{_id}.pkl")), gtype=cfg.DATA.GTYPE)
+        arrs["pos"][i], arrs["adj"][i] = pg.pos, pg.adj
+        arrs["node_mask"][i] = pg.mask
+        arrs["func_ids"][i] = tok.tokenize([row.func_before], max_length=T)[0]
+        lines = row.func_before.split("\n")
+        node_lines = [normalize_line(lines[ln - 1])
+                      if 1 <= ln <= len(lines) else ""
+                      for ln in pg.lineno[: pg.num_nodes]]
+        if node_lines:
+            arrs["node_ids"][i, : pg.num_nodes] = tok.tokenize(
+                node_lines, max_length=Tn)
+        arrs["image"][i] = resize_normalize(load_image(paths[_id]), img_size)
+    np.savez_compressed(cache_path, **arrs)
+    return arrs
+
+
+def main(argv=None) -> dict:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", default=None)
+    parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--data", default=None)
+    parser.add_argument("--batch-size", dest="batch_size", type=int)
+    parser.add_argument("--output", default=None)
+    parser.add_argument("--opts", nargs="+", default=None)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from mvuld_tpu.config import get_config
+    from mvuld_tpu.core.logger import create_logger
+    from mvuld_tpu.core.optim import build_optimizer
+    from mvuld_tpu.core.schedule import build_schedule
+    from mvuld_tpu.core.train_state import (TrainState, make_eval_step,
+                                            make_train_step)
+    from mvuld_tpu.data.loader import ArrayDataset, steps_per_epoch
+    from mvuld_tpu.data.tokenizer import CodeTokenizer
+    from mvuld_tpu.models.e2e import EndToEndMVulD
+    from mvuld_tpu.models.roberta import RobertaConfig
+    from mvuld_tpu.models.swin_v2 import SwinV2Config
+    from mvuld_tpu.parallel.mesh import make_mesh, replicate
+    from mvuld_tpu.train.harness import fit
+
+    cfg = get_config(args)
+    logger = create_logger(cfg.OUTPUT)
+
+    if args.synthetic:
+        from mvuld_tpu.tools.dataset import prepare_corpus
+        from mvuld_tpu.tools.synthetic import generate_dataset
+        df = prepare_corpus(generate_dataset(args.synthetic, seed=cfg.SEED or 42))
+    else:
+        import pandas as pd
+        df = pd.read_pickle(args.data)
+
+    tok = CodeTokenizer.train(df.func_before.tolist(), vocab_size=4096)
+    cache = build_e2e_cache(df, cfg, tok,
+                            os.path.join(cfg.OUTPUT, "cache", "e2e.npz"),
+                            cfg.DATA.IMG_SIZE, logger)
+    datasets = {}
+    for part in ("train", "val", "test"):
+        sel = np.asarray(cache["part"]) == part
+        if not sel.any():
+            continue
+        datasets[part] = ArrayDataset({
+            k: np.asarray(cache[k])[sel]
+            for k in ("func_ids", "node_ids", "image", "pos", "adj",
+                      "node_mask", "label")})
+    logger.info(f"dataset sizes: { {k: len(v) for k, v in datasets.items()} }")
+
+    u = cfg.MODEL.UNIXCODER
+    rcfg = RobertaConfig(
+        vocab_size=max(tok.vocab_size, 16), hidden_size=u.HIDDEN,
+        num_layers=u.LAYERS, num_heads=u.HEADS, intermediate_size=u.INTERMEDIATE,
+        max_position_embeddings=u.MAX_POSITIONS,
+        dtype=jnp.bfloat16 if cfg.PARALLEL.DTYPE == "bfloat16" else jnp.float32)
+    scfg = SwinV2Config.from_cfg(cfg)
+    model = EndToEndMVulD(rcfg, scfg, hidden=cfg.MODEL.MULTI.HIDDEN,
+                          num_classes=cfg.MODEL.NUM_CLASSES,
+                          num_rs_gcn=cfg.MODEL.MULTI.NUM_RS_GCN,
+                          num_hidden=cfg.MODEL.MULTI.NUM_HIDDEN_FC,
+                          remat=cfg.TRAIN.USE_CHECKPOINT)
+
+    ex = datasets["train"].get(0)
+    init_args = {k: jnp.asarray(v)[None] for k, v in ex.items() if k != "label"}
+    init_args["adj"] = init_args["adj"] > 0
+    rng = jax.random.PRNGKey(cfg.SEED)
+    variables = model.init(rng, **init_args, train=False)
+    has_bn = "batch_stats" in variables
+
+    def apply_fn(vs, batch, rngs, train, mutable=None):
+        kwargs = dict(func_ids=batch["func_ids"], node_ids=batch["node_ids"],
+                      image=batch["image"], pos=batch["pos"],
+                      adj=batch["adj"] > 0, node_mask=batch["node_mask"],
+                      train=train)
+        if mutable:
+            return model.apply(vs, **kwargs, rngs=rngs, mutable=mutable)
+        return model.apply(vs, **kwargs, rngs=rngs)
+
+    mesh = make_mesh(cfg.PARALLEL.DP, cfg.PARALLEL.MP)
+    spe = max(steps_per_epoch(len(datasets["train"]), cfg.DATA.BATCH_SIZE), 1)
+    schedule = build_schedule(cfg, spe, cfg.DATA.BATCH_SIZE)
+    tx = build_optimizer(cfg, schedule)
+    state = TrainState.create(variables["params"], tx,
+                              batch_stats=variables.get("batch_stats"))
+    train_step = make_train_step(apply_fn, tx,
+                                 label_smoothing=cfg.MODEL.LABEL_SMOOTHING,
+                                 has_batch_stats=has_bn, donate=False)
+    eval_step = make_eval_step(apply_fn, has_batch_stats=has_bn)
+
+    with mesh:
+        state = replicate(mesh, state)
+        return fit(cfg=cfg, state=state, train_step=train_step,
+                   eval_step=eval_step, train_ds=datasets["train"],
+                   val_ds=datasets.get("val", datasets["train"]),
+                   test_ds=datasets.get("test"), mesh=mesh,
+                   output_dir=cfg.OUTPUT, logger=logger)
+
+
+if __name__ == "__main__":
+    main()
