@@ -21,9 +21,9 @@ import json
 import time
 
 BASELINE_IMAGES_PER_SEC = 10.0
-BATCH = 8
+BATCH = 16
 WARMUP = 5
-ITERS = 20
+ITERS = 10
 
 
 def main() -> None:
@@ -53,7 +53,8 @@ def main() -> None:
     cfg.TRAIN.WARMUP_EPOCHS = 5
 
     sc = SwinV2Config.from_cfg(cfg)
-    model = SwinTransformerV2(sc, use_checkpoint=True, scan_blocks=True)
+    model = SwinTransformerV2(sc, use_checkpoint=True, scan_blocks=True,
+                              use_pallas=True)
 
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((BATCH, 448, 448, 3), jnp.float32)
@@ -76,8 +77,8 @@ def main() -> None:
 
     data = np.random.RandomState(0)
     superbatch = {
-        "image": jnp.asarray(data.randn(ITERS, BATCH, 448, 448, 3)
-                             ).astype(jnp.bfloat16).astype(jnp.float32),
+        "image": jnp.asarray(data.randn(ITERS, BATCH, 448, 448, 3),
+                             jnp.bfloat16),
         "label": jnp.asarray(data.randint(0, 2, (ITERS, BATCH)), jnp.int32),
     }
 
@@ -98,11 +99,14 @@ def main() -> None:
     t2 = timed()
     dt = min(t1, t2)
     images_per_sec = ITERS * BATCH / dt
+    # train step ≈ 3× fwd FLOPs (fwd + bwd) + remat recompute ≈ 4× fwd
+    mfu = images_per_sec * sc.flops() * 3 / 197e12
     print(json.dumps({
         "metric": "swinv2_base_448_train_images_per_sec",
         "value": round(images_per_sec, 2),
         "unit": "images/s/chip",
         "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
+        "mfu_approx": round(mfu, 3),
     }))
 
 

@@ -17,7 +17,7 @@ Deliberate departures from the reference:
 from __future__ import annotations
 
 import os
-from typing import Any, List
+from typing import Any
 
 from mvuld_tpu.core.cfgnode import CfgNode
 

@@ -11,7 +11,6 @@ master params makes loss scaling unnecessary.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax

@@ -12,7 +12,7 @@ for synthetic graph renders), random erasing, and batch-level mixup/cutmix
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from PIL import Image, ImageEnhance, ImageOps

@@ -11,7 +11,6 @@ ImageNet-format pretraining data (DATA.ZIP_MODE).
 from __future__ import annotations
 
 import io
-import os
 import zipfile
 from typing import Dict, List, Optional, Tuple
 

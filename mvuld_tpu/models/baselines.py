@@ -20,7 +20,7 @@ All graph ops run over the dense [B, N, ·] layout from graph_batch.py.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -13,7 +13,7 @@ All modules take a list/tuple of two inputs [B, D0], [B, D1] → [B, output_dim]
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -72,6 +72,30 @@ class SwinV2Config:
     @property
     def num_features(self) -> int:
         return int(self.embed_dim * 2 ** (len(self.depths) - 1))
+
+    def flops(self) -> int:
+        """Analytic forward FLOPs per image (reference: per-module flops()
+        methods, swin_transformer_v2.py:185-196, 312-324, 439-445, 645-652)."""
+        res = self.img_size // self.patch_size
+        total = 2 * res * res * self.in_chans * self.embed_dim * self.patch_size ** 2
+        for i, depth in enumerate(self.depths):
+            dim = self.embed_dim * 2 ** i
+            r = res // 2 ** i
+            L = r * r
+            w = min(self.window_size, r)
+            n = w * w
+            n_windows = L // n
+            per_block = (
+                2 * L * dim * 3 * dim                 # qkv
+                + 2 * n_windows * self.num_heads[i] * n * n * (dim // self.num_heads[i]) * 2
+                + 2 * L * dim * dim                   # proj
+                + 2 * 2 * L * dim * int(dim * self.mlp_ratio)  # mlp
+            )
+            total += depth * per_block
+            if i < len(self.depths) - 1:
+                total += 2 * (L // 4) * 4 * dim * 2 * dim      # patch merging
+        total += 2 * (res // 2 ** (len(self.depths) - 1)) ** 2 * self.num_features
+        return int(total)
 
 
 # --------------------------------------------------------------------------- #

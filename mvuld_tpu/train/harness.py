@@ -9,7 +9,7 @@ logging with images/sec. One process drives the whole mesh.
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict, Iterable, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import numpy as np

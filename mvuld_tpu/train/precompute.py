@@ -22,7 +22,7 @@ Every stage is idempotent: images/pos/graph caches are only built if absent
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
@@ -68,9 +68,6 @@ def build_fusion_cache(df, cache_dir: str, cfg, *, text_encoder=None,
     When None, frozen random-init encoders are used (lets the graph-only and
     pipeline tests run without trained checkpoints).
     """
-    import jax
-    import jax.numpy as jnp
-
     from mvuld_tpu.data.graph_batch import pack_graph
     from mvuld_tpu.data.transforms import load_image, resize_normalize
     from mvuld_tpu.data.tokenizer import normalize_line

@@ -23,7 +23,7 @@ def build_e2e_cache(df, cfg, tok, cache_path: str, img_size: int, logger=None):
     from mvuld_tpu.data.tokenizer import normalize_line
     from mvuld_tpu.data.transforms import load_image, resize_normalize
     from mvuld_tpu.tools.cpg import extract_line_cpg
-    from mvuld_tpu.tools.render import render_cpg, save_norm_pos, load_norm_pos
+    from mvuld_tpu.tools.render import load_norm_pos
     from mvuld_tpu.train.precompute import render_corpus
 
     if os.path.exists(cache_path):

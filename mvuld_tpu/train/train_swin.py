@@ -77,7 +77,7 @@ def main(argv=None) -> dict:
     from mvuld_tpu.data.loader import steps_per_epoch
     from mvuld_tpu.data.transforms import mixup_cutmix
     from mvuld_tpu.models.swin_v2 import SwinTransformerV2, SwinV2Config
-    from mvuld_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from mvuld_tpu.parallel.mesh import make_mesh, replicate
     from mvuld_tpu.train.harness import fit, run_eval
 
     cfg = get_config(args)
