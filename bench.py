@@ -21,9 +21,9 @@ import json
 import time
 
 BASELINE_IMAGES_PER_SEC = 10.0
-BATCH = 16
+BATCH = 32
 WARMUP = 5
-ITERS = 10
+ITERS = 6
 
 
 def main() -> None:

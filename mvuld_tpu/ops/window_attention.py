@@ -92,6 +92,111 @@ def pallas_window_attention(q, k, v, bias, logit_scale,
     )(*args)
 
 
+def _bwd_kernel_factory(has_mask: bool):
+    def kernel(*refs):
+        if has_mask:
+            (q_ref, k_ref, v_ref, bias_ref, scale_ref, mask_ref, g_ref,
+             dq_ref, dk_ref, dv_ref, dbias_ref, dscale_ref) = refs
+            mask = mask_ref[0].astype(jnp.float32)
+        else:
+            (q_ref, k_ref, v_ref, bias_ref, scale_ref, g_ref,
+             dq_ref, dk_ref, dv_ref, dbias_ref, dscale_ref) = refs
+            mask = None
+        b = pl.program_id(1)          # batch fastest → bias block revisited
+
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        g = g_ref[0, 0].astype(jnp.float32)
+        scale = scale_ref[0, 0, 0]
+
+        qn = jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
+        kn = jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
+        qh = q * qn
+        kh = k * kn
+        s_cos = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
+        s = s_cos * scale + bias_ref[0].astype(jnp.float32)
+        if mask is not None:
+            s = s + mask
+        p = jax.nn.softmax(s, axis=-1)
+
+        dv = jnp.dot(p.T, g, preferred_element_type=jnp.float32)
+        dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))   # [N, N]
+
+        # accumulate dbias / dscale across the batch (b) grid axis
+        @pl.when(b == 0)
+        def _():
+            dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+            dscale_ref[0, 0, 0] = 0.0
+
+        dbias_ref[0] += ds.astype(dbias_ref.dtype)
+        dscale_ref[0, 0, 0] += jnp.sum(ds * s_cos)
+
+        ds_scaled = ds * scale
+        dqh = jnp.dot(ds_scaled, kh, preferred_element_type=jnp.float32)
+        dkh = jnp.dot(ds_scaled.T, qh, preferred_element_type=jnp.float32)
+        # backprop through x̂ = x/‖x‖: dx = (dx̂ - x̂ (x̂·dx̂)) / ‖x‖
+        dq = (dqh - qh * jnp.sum(qh * dqh, axis=-1, keepdims=True)) * qn
+        dk = (dkh - kh * jnp.sum(kh * dkh, axis=-1, keepdims=True)) * kn
+        dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+        dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+    return kernel
+
+
+def pallas_window_attention_bwd(q, k, v, bias, logit_scale, g,
+                                mask: Optional[np.ndarray] = None,
+                                interpret: bool = False):
+    """Fused backward: returns (dq, dk, dv, dbias, dlogit_scale).
+
+    Grid is (H, Bn) with batch fastest so the per-head dbias/dscale output
+    blocks are revisited consecutively and accumulate in VMEM.
+    """
+    Bn, H, N, hd = q.shape
+    qkv_spec = pl.BlockSpec((1, 1, N, hd), lambda h, b: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, N, N), lambda h, b: (h, 0, 0),
+                             memory_space=pltpu.VMEM)
+    scale_spec = pl.BlockSpec((1, 1, 1), lambda h, b: (h, 0, 0),
+                              memory_space=pltpu.VMEM)
+    scale = jnp.asarray(logit_scale, jnp.float32).reshape(H, 1, 1)
+    in_specs = [qkv_spec, qkv_spec, qkv_spec, bias_spec, scale_spec]
+    args = [q, k, v, bias, scale]
+    if mask is not None:
+        nW = mask.shape[0]
+        in_specs.append(pl.BlockSpec((1, N, N), lambda h, b: (b % nW, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(mask))
+    in_specs.append(qkv_spec)      # g
+    args.append(g)
+
+    out_shape = (
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct(k.shape, k.dtype),
+        jax.ShapeDtypeStruct(v.shape, v.dtype),
+        jax.ShapeDtypeStruct((H, N, N), jnp.float32),
+        jax.ShapeDtypeStruct((H, 1, 1), jnp.float32),
+    )
+    out_specs = (
+        qkv_spec, qkv_spec, qkv_spec,
+        pl.BlockSpec((1, N, N), lambda h, b: (h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1), lambda h, b: (h, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    dq, dk, dv, dbias, dscale = pl.pallas_call(
+        _bwd_kernel_factory(mask is not None),
+        grid=(H, Bn),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+    return dq, dk, dv, dbias, dscale.reshape(H)
+
+
 def window_attention_reference(q, k, v, bias, logit_scale,
                                mask: Optional[np.ndarray] = None):
     """Plain-XLA composition (backward pass, tests, non-TPU backends)."""
@@ -129,10 +234,9 @@ def make_window_attention(mask_key: Optional[int] = None):
 
     def bwd(res, g):
         q, k, v, bias, logit_scale = res
-        _, vjp = jax.vjp(
-            lambda q_, k_, v_, b_, s_: window_attention_reference(
-                q_, k_, v_, b_, s_, mask), q, k, v, bias, logit_scale)
-        return vjp(g)
+        dq, dk, dv, dbias, dscale = pallas_window_attention_bwd(
+            q, k, v, bias, logit_scale, g, mask)
+        return dq, dk, dv, dbias, dscale.astype(jnp.asarray(logit_scale).dtype)
 
     attn.defvjp(fwd, bwd)
     return attn

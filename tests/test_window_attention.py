@@ -53,10 +53,12 @@ def test_custom_vjp_gradients_match():
 
     grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
 
-    # patch the fused fn to use interpret mode on CPU for the fwd
+    # patch both fused kernels to interpret mode on CPU
     import mvuld_tpu.ops.window_attention as wa
-    orig = wa.pallas_window_attention
-    wa.pallas_window_attention = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    orig_f = wa.pallas_window_attention
+    orig_b = wa.pallas_window_attention_bwd
+    wa.pallas_window_attention = lambda *a, **kw: orig_f(*a, **{**kw, "interpret": True})
+    wa.pallas_window_attention_bwd = lambda *a, **kw: orig_b(*a, **{**kw, "interpret": True})
     try:
         wa.make_window_attention.cache_clear()
 
@@ -65,8 +67,29 @@ def test_custom_vjp_gradients_match():
 
         grads = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
     finally:
-        wa.pallas_window_attention = orig
+        wa.pallas_window_attention = orig_f
+        wa.pallas_window_attention_bwd = orig_b
         wa.make_window_attention.cache_clear()
     for g, gr in zip(grads, grads_ref):
         np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_bwd_kernel_masked_matches_reference():
+    """Fused backward with a shift mask matches reference gradients."""
+    q, k, v, bias, scale = _inputs(4)
+    mask = shifted_window_mask(8, 8, 4, 2)
+    args = tuple(map(jnp.asarray, (q, k, v, bias, scale)))
+
+    def loss_ref(*a):
+        return (window_attention_reference(*a, mask=mask) * 0.3).sum()
+
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+
+    from mvuld_tpu.ops.window_attention import pallas_window_attention_bwd
+    g = jnp.full((Bn, H, N, HD), 0.3, jnp.float32)
+    dq, dk, dv, dbias, dscale = pallas_window_attention_bwd(
+        *args, g, mask=mask, interpret=True)
+    for got, want in zip((dq, dk, dv, dbias, dscale), grads_ref):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-4, rtol=1e-4)
