@@ -23,7 +23,7 @@ import time
 BASELINE_IMAGES_PER_SEC = 10.0
 BATCH = 32
 WARMUP = 5
-ITERS = 6
+ITERS = 4
 
 
 def main() -> None:

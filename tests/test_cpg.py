@@ -163,3 +163,34 @@ def test_synthetic_corpus_all_parse():
     assert np.mean(n_nodes) > 6
     # both classes present and roughly balanced
     assert 0.3 < df.vul.mean() < 0.7
+
+
+GNARLY_CASES = [
+    ("func_ptr", "int dispatch(int (*handler)(void *), void *ctx)\n{\n    int rc;\n    rc = handler(ctx);\n    if (rc < 0)\n        return -1;\n    return rc;\n}"),
+    ("nested_switch", "void f(int x, int y)\n{\n    switch (x) {\n    case 1:\n        switch (y) {\n        case 2:\n            x = 3;\n            break;\n        }\n        break;\n    default:\n        x = 0;\n    }\n}"),
+    ("ternary_labels", "int g(int n)\n{\n    int r = n > 0 ? n : -n;\nretry:\n    if (r-- > 0)\n        goto retry;\n    return r;\n}"),
+    ("macro_body", "void h(void)\n{\n#ifdef DEBUG\n    log(\"dbg\");\n#endif\n    int x = 1;\n    DO_STUFF(x);\n}"),
+    ("comma_decl", "long sum3(long a, long b, long c)\n{\n    long t1 = a + b, t2 = c, total;\n    total = t1 + t2;\n    return total;\n}"),
+    ("string_tricky", "int parse(const char *s)\n{\n    if (strchr(s, '{') || strchr(s, '}'))\n        return -1;\n    char buf[16] = \"a{b}c;//x\";\n    return buf[0];\n}"),
+    ("do_while_nested", "void spin(int n)\n{\n    do {\n        do {\n            n--;\n        } while (n % 2);\n    } while (n > 0);\n}"),
+]
+
+
+@pytest.mark.parametrize("name,code", GNARLY_CASES)
+def test_gnarly_c_never_crashes(name, code):
+    """Robustness on real-world C patterns: function pointers, nested
+    switches, labels+goto, preprocessor lines, comma declarations, brace
+    characters inside literals, nested do-while."""
+    g = extract_line_cpg(code)
+    assert g is not None, name
+    f = g.filtered("all")
+    assert len(f.nodes) >= 2, name
+    assert len(f.edges) >= len(f.nodes) - 1, name
+
+
+def test_one_line_body_dropped_like_reference():
+    """A function whose whole body sits on the signature line yields <2
+    connected lines — dropped, matching the reference validity filter
+    (getImages.py check_validity:22-51 requires ≥2 line numbers)."""
+    g = extract_line_cpg("int f(int a) { int b = a; if (b) return b; return 0; }")
+    assert g is None or len(g.filtered("all").nodes) < 2
