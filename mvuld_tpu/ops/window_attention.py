@@ -128,10 +128,10 @@ def _bwd_kernel_factory(has_mask: bool):
         @pl.when(b == 0)
         def _():
             dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
-            dscale_ref[0, 0, 0] = 0.0
+            dscale_ref[0, 0] = 0.0
 
         dbias_ref[0] += ds.astype(dbias_ref.dtype)
-        dscale_ref[0, 0, 0] += jnp.sum(ds * s_cos)
+        dscale_ref[0, 0] += jnp.sum(ds * s_cos)
 
         ds_scaled = ds * scale
         dqh = jnp.dot(ds_scaled, kh, preferred_element_type=jnp.float32)
@@ -177,14 +177,14 @@ def pallas_window_attention_bwd(q, k, v, bias, logit_scale, g,
         jax.ShapeDtypeStruct(k.shape, k.dtype),
         jax.ShapeDtypeStruct(v.shape, v.dtype),
         jax.ShapeDtypeStruct((H, N, N), jnp.float32),
-        jax.ShapeDtypeStruct((H, 1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((H, 1), jnp.float32),   # dscale lives in SMEM
     )
     out_specs = (
         qkv_spec, qkv_spec, qkv_spec,
         pl.BlockSpec((1, N, N), lambda h, b: (h, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1), lambda h, b: (h, 0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda h, b: (h, 0),
+                     memory_space=pltpu.SMEM),
     )
     dq, dk, dv, dbias, dscale = pl.pallas_call(
         _bwd_kernel_factory(mask is not None),
