@@ -9,9 +9,10 @@ per (window, head) grid cell it loads q/k/v [N, hd], L2-normalizes in fp32,
 forms scores + continuous-position bias (+ shift mask), softmaxes, and
 multiplies by v — one HBM read of q/k/v and one write of the output.
 
-A custom VJP recomputes attention with XLA ops on the backward pass (the
-standard recompute trade: forward saves the HBM roundtrip where it runs most
-— eval, feature precompute, and the forward half of training).
+Both directions are fused: the custom VJP's backward is a second Pallas
+kernel (flash-style recompute of p from q/k/v, then dv/ds/dq/dk in VMEM)
+with per-head dbias / dlogit_scale accumulated across the batch grid axis —
+no [N, N] attention tensor ever touches HBM in training either.
 
 Shapes: q,k,v [Bn, H, N, hd]; bias [H, N, N] (already 16·sigmoid(cpb));
 mask [nW, N, N] additive shift mask or None; logit_scale [H] (already
@@ -102,6 +103,7 @@ def _bwd_kernel_factory(has_mask: bool):
             (q_ref, k_ref, v_ref, bias_ref, scale_ref, g_ref,
              dq_ref, dk_ref, dv_ref, dbias_ref, dscale_ref) = refs
             mask = None
+        h = pl.program_id(0)
         b = pl.program_id(1)          # batch fastest → bias block revisited
 
         q = q_ref[0, 0].astype(jnp.float32)
@@ -128,10 +130,10 @@ def _bwd_kernel_factory(has_mask: bool):
         @pl.when(b == 0)
         def _():
             dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
-            dscale_ref[0, 0] = 0.0
+            dscale_ref[h, 0] = 0.0
 
         dbias_ref[0] += ds.astype(dbias_ref.dtype)
-        dscale_ref[0, 0] += jnp.sum(ds * s_cos)
+        dscale_ref[h, 0] += jnp.sum(ds * s_cos)
 
         ds_scaled = ds * scale
         dqh = jnp.dot(ds_scaled, kh, preferred_element_type=jnp.float32)
@@ -183,7 +185,9 @@ def pallas_window_attention_bwd(q, k, v, bias, logit_scale, g,
         qkv_spec, qkv_spec, qkv_spec,
         pl.BlockSpec((1, N, N), lambda h, b: (h, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1), lambda h, b: (h, 0),
+        # the full (H, 1) scalar accumulator lives in SMEM, shared by every
+        # grid cell (block == whole array satisfies Mosaic's tiling rule)
+        pl.BlockSpec((H, 1), lambda h, b: (0, 0),
                      memory_space=pltpu.SMEM),
     )
     dq, dk, dv, dbias, dscale = pl.pallas_call(
