@@ -18,6 +18,7 @@ force-set (main.py:12). SwinV2-Base at 448² under those conditions trains at
 from __future__ import annotations
 
 import json
+import os
 import time
 
 BASELINE_IMAGES_PER_SEC = 10.0
@@ -95,7 +96,12 @@ def main() -> None:
         return time.perf_counter() - t0
 
     nonlocal_state = [state]
-    t1 = timed()
+    profile_dir = os.environ.get("MVULD_PROFILE")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            t1 = timed()
+    else:
+        t1 = timed()
     t2 = timed()
     dt = min(t1, t2)
     images_per_sec = ITERS * BATCH / dt

@@ -197,6 +197,10 @@ def pallas_window_attention_bwd(q, k, v, bias, logit_scale, g,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        # ~7 live fp32 [N,N] tensors per cell exceed the default 16M scoped
+        # limit; v5e has far more physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(*args)
     return dq, dk, dv, dbias, dscale.reshape(H)
 
