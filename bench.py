@@ -22,9 +22,9 @@ import os
 import time
 
 BASELINE_IMAGES_PER_SEC = 10.0
-BATCH = 32
+BATCH = 48
 WARMUP = 5
-ITERS = 4
+ITERS = 3
 
 
 def main() -> None:
