@@ -84,7 +84,9 @@ def main(argv=None) -> dict:
     logger = create_logger(cfg.OUTPUT)
 
     sc = SwinV2Config.from_cfg(cfg)
-    model = SwinTransformerV2(sc, use_checkpoint=cfg.TRAIN.USE_CHECKPOINT)
+    on_tpu = jax.default_backend() not in ("cpu",)
+    model = SwinTransformerV2(sc, use_checkpoint=cfg.TRAIN.USE_CHECKPOINT,
+                              scan_blocks=True, use_pallas=on_tpu)
     rng = jax.random.PRNGKey(cfg.SEED)
     size = cfg.DATA.IMG_SIZE
     variables = model.init(rng, jnp.zeros((2, size, size, 3), jnp.float32))
@@ -95,7 +97,8 @@ def main(argv=None) -> dict:
         from mvuld_tpu.models.swin_convert import swinv2_torch_to_flax
         ckpt = torch.load(args.pretrained, map_location="cpu")
         sd = ckpt.get("model", ckpt)
-        params = swinv2_torch_to_flax(sd, sc)
+        from mvuld_tpu.models.swin_convert import to_scan_layout
+        params = to_scan_layout(swinv2_torch_to_flax(sd, sc), sc)
         logger.info(f"converted pretrained weights from {args.pretrained}")
 
     # ---- throughput mode (reference: main.py:438-455)
