@@ -45,8 +45,17 @@ def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
         test_ds: Optional[ArrayDataset] = None, mesh=None,
         batch_hook: Optional[Callable] = None, output_dir: str = "",
         patience: Optional[int] = None, logger=None,
-        save_best: bool = True) -> Dict:
-    """Run the full training loop; returns {state, best, val/test metrics}."""
+        save_best: bool = True, multi_step: Optional[Callable] = None,
+        fused_steps: int = 1) -> Dict:
+    """Run the full training loop; returns {state, best, val/test metrics}.
+
+    With ``multi_step`` (from make_multi_train_step) and ``fused_steps`` > 1,
+    K host batches are stacked into a superbatch and trained in ONE device
+    dispatch — essential when per-dispatch latency is high (remote TPU,
+    multi-host). Falls back to per-batch stepping for epoch remainders.
+    """
+    import numpy as np
+
     logger = logger or create_logger(output_dir)
     batch_size = cfg.DATA.BATCH_SIZE
     rng = jax.random.PRNGKey(cfg.SEED)
@@ -57,20 +66,39 @@ def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
     for epoch in range(cfg.TRAIN.START_EPOCH, cfg.TRAIN.EPOCHS):
         t_epoch = time.time()
         loss_meter, speed_meter = AverageMeter(), AverageMeter()
-        for it, batch in enumerate(train_batches(train_ds, batch_size, epoch,
-                                                 cfg.SEED)):
-            if batch_hook is not None:
-                batch = batch_hook(batch, epoch, it)
+        pending = []
+        it = -1
+        for raw in train_batches(train_ds, batch_size, epoch, cfg.SEED):
+            it += 1
+            batch = batch_hook(raw, epoch, it) if batch_hook else raw
             t0 = time.time()
-            b = shard_batch(mesh, batch) if mesh is not None else batch
-            state, metrics = train_step(state, b, rng)
-            if it % cfg.PRINT_FREQ == 0:
-                loss = float(metrics["loss"])   # forces sync — only on print
-                loss_meter.update(loss, batch_size)
-                speed_meter.update(batch_size / max(time.time() - t0, 1e-9))
+            if multi_step is not None and fused_steps > 1:
+                pending.append(batch)
+                if len(pending) < fused_steps:
+                    continue
+                superbatch = {k: np.stack([p[k] for p in pending])
+                              for k in pending[0]}
+                pending = []
+                b = shard_batch(mesh, superbatch) if mesh is not None else superbatch
+                state, metrics = multi_step(state, b, rng)
+                step_loss = metrics["loss"][-1]
+                n_done = fused_steps * batch_size
+            else:
+                b = shard_batch(mesh, batch) if mesh is not None else batch
+                state, metrics = train_step(state, b, rng)
+                step_loss = metrics["loss"]
+                n_done = batch_size
+            if it % cfg.PRINT_FREQ < (fused_steps if multi_step else 1):
+                loss = float(step_loss)         # forces sync — only on print
+                loss_meter.update(loss, n_done)
+                speed_meter.update(n_done / max(time.time() - t0, 1e-9))
                 logger.info(
                     f"epoch {epoch} it {it}: loss {loss:.4f} "
                     f"({speed_meter.val:.1f} samples/s)")
+        # epoch remainder that didn't fill a superbatch: per-batch steps
+        for batch in pending:
+            b = shard_batch(mesh, batch) if mesh is not None else batch
+            state, metrics = train_step(state, b, rng)
 
         val_metrics = run_eval(eval_step, state, val_ds, batch_size, mesh)
         history.append({"epoch": epoch, **val_metrics})

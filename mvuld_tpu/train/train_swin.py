@@ -149,6 +149,11 @@ def main(argv=None) -> dict:
     train_step = make_train_step(apply_fn, tx,
                                  label_smoothing=0.0,  # folded into soft targets
                                  donate=False)
+    multi_step = None
+    if cfg.TRAIN.FUSED_STEPS > 1:
+        from mvuld_tpu.core.train_state import make_multi_train_step
+        multi_step = make_multi_train_step(apply_fn, tx, cfg.TRAIN.FUSED_STEPS,
+                                           label_smoothing=0.0, donate=False)
     eval_step = make_eval_step(apply_fn)
 
     # batch-level mixup/cutmix producing soft targets (main.py:267-269)
@@ -176,7 +181,8 @@ def main(argv=None) -> dict:
                    val_ds=datasets.get("val", datasets["train"]),
                    test_ds=datasets.get("test"), mesh=mesh,
                    batch_hook=batch_hook, output_dir=cfg.OUTPUT,
-                   patience=10, logger=logger)
+                   patience=10, logger=logger, multi_step=multi_step,
+                   fused_steps=cfg.TRAIN.FUSED_STEPS)
 
 
 if __name__ == "__main__":

@@ -9,8 +9,8 @@ import jax.numpy as jnp
 from mvuld_tpu.config import default_config
 from mvuld_tpu.core.optim import build_optimizer
 from mvuld_tpu.core.schedule import build_schedule
-from mvuld_tpu.core.train_state import (TrainState, make_multi_train_step,
-                                        make_train_step)
+from mvuld_tpu.core.train_state import (TrainState, make_eval_step,
+                                        make_multi_train_step, make_train_step)
 
 
 def _setup():
@@ -67,3 +67,55 @@ def test_multi_step_equals_sequential_steps():
     # per-step losses are distinct real work
     losses = np.asarray(metrics["loss"])
     assert len(set(np.round(losses, 6).tolist())) > 1
+
+
+def test_fit_with_fused_steps_matches_unfused():
+    """fit() with fused_steps produces the same val metrics as per-batch."""
+    import flax.linen as nn
+
+    from mvuld_tpu.data.loader import ArrayDataset
+    from mvuld_tpu.train.harness import fit
+
+    class Toy(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(2)(nn.relu(nn.Dense(8)(x)))
+
+    cfg = default_config()
+    cfg.DATA.BATCH_SIZE = 8
+    cfg.TRAIN.EPOCHS = 2
+    cfg.TRAIN.WARMUP_EPOCHS = 0
+    cfg.TRAIN.EARLY_STOP_PATIENCE = 10
+    cfg.PRINT_FREQ = 1000
+
+    rngd = np.random.RandomState(0)
+    w = rngd.randn(4)
+    xs = rngd.randn(64, 4).astype(np.float32)
+    ys = (xs @ w > 0).astype(np.int32)
+    ds = ArrayDataset({"x": xs, "label": ys})
+
+    model = Toy()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    sched = lambda s: 1e-2
+    tx = build_optimizer(cfg, sched)
+
+    def apply_fn(vs, batch, rngs, train, mutable=None):
+        return model.apply(vs, batch["x"])
+
+    step = make_train_step(apply_fn, tx, label_smoothing=0.0, donate=False)
+    multi = make_multi_train_step(apply_fn, tx, num_steps=2,
+                                  label_smoothing=0.0, donate=False)
+
+    eval_step = make_eval_step(apply_fn)
+    res_a = fit(cfg=cfg, state=TrainState.create(variables["params"], tx),
+                train_step=step, eval_step=eval_step,
+                train_ds=ds, val_ds=ds, save_best=False)
+    res_b = fit(cfg=cfg, state=TrainState.create(variables["params"], tx),
+                train_step=step, eval_step=eval_step,
+                train_ds=ds, val_ds=ds, save_best=False,
+                multi_step=multi, fused_steps=2)
+    assert int(res_a["state"].step) == int(res_b["state"].step)
+    pa = jax.tree_util.tree_leaves(res_a["state"].params)
+    pb = jax.tree_util.tree_leaves(res_b["state"].params)
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
