@@ -22,7 +22,7 @@ import os
 import time
 
 BASELINE_IMAGES_PER_SEC = 10.0
-BATCH = 48
+BATCH = 64
 WARMUP = 5
 ITERS = 3
 
