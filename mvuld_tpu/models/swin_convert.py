@@ -140,10 +140,10 @@ def to_scan_layout(params: Dict, config: SwinV2Config) -> Dict:
         import jax
         return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *trees)
 
-    out = {k: v for k, v in params.items() if "_blocks_" not in k}
+    out = dict(params)
     for i, depth in enumerate(config.depths):
         if depth % 2 != 0 or depth < 2:
-            continue
+            continue               # odd-depth stages stay per-block
         evens = [params[f"layers_{i}_blocks_{2 * p}"] for p in range(depth // 2)]
         odds = [params[f"layers_{i}_blocks_{2 * p + 1}"] for p in range(depth // 2)]
         out[f"layers_{i}_scan"] = {"block0": tree_stack(evens),

@@ -160,3 +160,25 @@ def test_bias_table_interpolation_shape():
     # identity when windows match scale: interpolating to the same size
     same = interpolate_bias_table(tbl, 12, 12)
     np.testing.assert_allclose(same, tbl, atol=1e-5)
+
+
+def test_converted_checkpoint_through_scan_layout(reference_swin):
+    """torch checkpoint → converter → scan layout → scanned model must match
+    the torch reference (the train_swin --pretrained path)."""
+    from mvuld_tpu.models.swin_convert import to_scan_layout
+
+    torch, ref = reference_swin
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        want = ref.forward_features(torch.tensor(x)).numpy()
+
+    params = swinv2_torch_to_flax(ref.state_dict(), TINY, strict_head=True)
+    cfg2 = SwinV2Config(**{**TINY.__dict__, "depths": (1, 2)})
+    # depths (1, 2): stage 1 has odd depth → per-block; only even stages scan.
+    scan_params = to_scan_layout(params, cfg2)
+    model = SwinTransformerV2(cfg2, scan_blocks=True)
+    got = np.asarray(model.apply({"params": scan_params},
+                                 jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                 return_features=True))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
