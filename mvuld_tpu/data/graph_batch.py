@@ -106,3 +106,20 @@ def per_etype_adjacency(batch_adj: np.ndarray, num_etypes: int = len(EDGE_TYPE_M
     for e in range(num_etypes):
         out[:, e] = ((batch_adj >> e) & 1).astype(np.float32)
     return out
+
+
+def k_hop_neighbors(adj: np.ndarray, seeds: Sequence[int], hops: int = 1,
+                    include_seeds: bool = True) -> np.ndarray:
+    """Indices reachable from ``seeds`` within ``hops`` (undirected), for one
+    [N, N] adjacency — the reference's sparse-matrix hop expansion
+    (joern.py neighbour_nodes:409-453) over the dense layout."""
+    und = (adj > 0) | (adj > 0).T
+    frontier = np.zeros(und.shape[0], bool)
+    frontier[list(seeds)] = True
+    visited = frontier.copy()
+    for _ in range(hops):
+        frontier = und[frontier].any(axis=0) & ~visited
+        visited |= frontier
+    if not include_seeds:
+        visited[list(seeds)] = False
+    return np.where(visited)[0]

@@ -53,3 +53,30 @@ def evaluate_patches(prob_fn: Callable[[Sequence[str]], np.ndarray],
         "flip_rate": float(flips.sum() / max(pred_vul.sum(), 1)),
         "mean_prob_drop": float((p_vul - p_fix).mean()),
     }
+
+
+def plot_embedding(features: np.ndarray, labels: Sequence[int], out_path: str,
+                   title: str = "t-SNE of function representations") -> str:
+    """2-D t-SNE scatter of learned representations (the reference's
+    eval_patches plot_embedding, eval_patches.py:38-615)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from sklearn.manifold import TSNE
+
+    feats = np.asarray(features, np.float32)
+    labels = np.asarray(labels)
+    perplexity = max(2, min(30, len(feats) // 4))
+    emb = TSNE(n_components=2, random_state=0,
+               perplexity=perplexity).fit_transform(feats)
+    fig, ax = plt.subplots(figsize=(6, 5))
+    for cls, color, name in ((0, "#4878CF", "clean"), (1, "#D65F5F", "vulnerable")):
+        m = labels == cls
+        ax.scatter(emb[m, 0], emb[m, 1], s=12, c=color, label=name, alpha=0.7)
+    ax.legend()
+    ax.set_title(title)
+    import os
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out_path

@@ -84,3 +84,23 @@ def test_patch_eval_with_oracle():
     assert m["n_pairs"] == 30
     assert 0 <= m["flip_rate"] <= 1
     assert m["mean_prob_drop"] >= 0
+
+
+def test_k_hop_neighbors():
+    from mvuld_tpu.data.graph_batch import k_hop_neighbors
+    adj = np.zeros((5, 5), np.uint8)
+    adj[0, 1] = adj[1, 2] = adj[3, 4] = 1
+    assert k_hop_neighbors(adj, [0], 1).tolist() == [0, 1]
+    assert k_hop_neighbors(adj, [0], 2).tolist() == [0, 1, 2]
+    assert k_hop_neighbors(adj, [2], 1).tolist() == [1, 2]   # undirected
+    assert k_hop_neighbors(adj, [0], 2, include_seeds=False).tolist() == [1, 2]
+
+
+def test_plot_embedding(tmp_path):
+    from mvuld_tpu.tools.patch_eval import plot_embedding
+    rng = np.random.RandomState(0)
+    feats = np.concatenate([rng.randn(20, 8) + 3, rng.randn(20, 8) - 3])
+    labels = np.array([0] * 20 + [1] * 20)
+    out = plot_embedding(feats, labels, str(tmp_path / "tsne.png"))
+    import os
+    assert os.path.exists(out) and os.path.getsize(out) > 1000
