@@ -77,3 +77,22 @@ def resume_ladder(output_dir: str, model_resume: str = "",
     if auto_resume:
         return auto_resume_helper(output_dir)
     return None
+
+
+def restore_train_state(path: str, state):
+    """Restore a TrainState saved by the harness; unknown fields are kept
+    from the incoming state (e.g. when only bare params were saved)."""
+    import jax.numpy as jnp
+    tree = load_checkpoint(path)
+    kwargs = {"params": tree["params"]}
+    if tree.get("opt_state") is not None:
+        import jax
+        # orbax restores as nested dicts/lists; rebuild the optax structure
+        target = jax.tree_util.tree_structure(state.opt_state)
+        leaves = jax.tree_util.tree_leaves(tree["opt_state"])
+        kwargs["opt_state"] = jax.tree_util.tree_unflatten(target, leaves)
+    if tree.get("batch_stats") is not None:
+        kwargs["batch_stats"] = tree["batch_stats"]
+    if tree.get("step") is not None:
+        kwargs["step"] = jnp.asarray(tree["step"], jnp.int32)
+    return state.replace(**kwargs)

@@ -108,9 +108,13 @@ def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
         if stopper.update(val_metrics["f1"], epoch):
             best_state = state
             if save_best and output_dir:
+                # full state incl. optimizer (the reference saves model+
+                # optimizer+scheduler+epoch+best metric, utils.py:143-176)
                 save_checkpoint(output_dir, epoch,
                                 {"params": jax.device_get(state.params),
+                                 "opt_state": jax.device_get(state.opt_state),
                                  "batch_stats": jax.device_get(state.batch_stats),
+                                 "step": int(state.step),
                                  "epoch": epoch,
                                  "best_f1": val_metrics["f1"]},
                                 best=True)

@@ -162,3 +162,54 @@ def test_grad_accumulation_equivalence():
     state, _ = step(state, {"x": jnp.asarray(xs), "label": jnp.asarray(ys)}, rng)
     p2 = state.params["Dense_0"]["kernel"]
     assert np.abs(np.asarray(p2) - np.asarray(p0)).max() > 0     # applied
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    """Save best checkpoint (incl. optimizer), restore, continue training —
+    the reference's resume semantics (utils.py:143-211)."""
+    import flax.linen as nn
+
+    from mvuld_tpu.core.checkpoint import (resume_bestf1_helper, save_checkpoint,
+                                           restore_train_state)
+
+    class Toy(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(2)(x)
+
+    cfg = default_config()
+    model = Toy()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    tx = build_optimizer(cfg, lambda s: 1e-2)
+    state = TrainState.create(variables["params"], tx)
+
+    def apply_fn(vs, batch, rngs, train, mutable=None):
+        return model.apply(vs, batch["x"])
+
+    step = make_train_step(apply_fn, tx, label_smoothing=0.0, donate=False)
+    rng = jax.random.PRNGKey(0)
+    xs = np.random.RandomState(0).randn(8, 4).astype(np.float32)
+    ys = np.random.RandomState(1).randint(0, 2, 8).astype(np.int32)
+    batch = {"x": jnp.asarray(xs), "label": jnp.asarray(ys)}
+    for _ in range(3):
+        state, _ = step(state, batch, rng)
+
+    save_checkpoint(str(tmp_path), 0,
+                    {"params": jax.device_get(state.params),
+                     "opt_state": jax.device_get(state.opt_state),
+                     "batch_stats": None, "step": int(state.step),
+                     "epoch": 0, "best_f1": 0.5}, best=True)
+    found = resume_bestf1_helper(str(tmp_path))
+    assert found is not None
+
+    fresh = TrainState.create(variables["params"], tx)
+    restored = restore_train_state(found, fresh)
+    assert int(restored.step) == 3
+    pa = jax.tree_util.tree_leaves(state.params)
+    pb = jax.tree_util.tree_leaves(restored.params)
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    # training continues identically from the restored state
+    s1, m1 = step(state, batch, rng)
+    s2, m2 = step(restored, batch, rng)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), atol=1e-6)
