@@ -79,20 +79,50 @@ def resume_ladder(output_dir: str, model_resume: str = "",
     return None
 
 
-def restore_train_state(path: str, state):
+def _rebuild_like(target, restored):
+    """Map an orbax-restored raw tree (nested dicts/lists) back onto
+    ``target``'s structure by NAME — namedtuple fields (optax states) are
+    matched by field name, never by flattened leaf order. Leaf-order
+    matching silently permutes optax.MultiSteps state (its fields are not
+    alphabetical), breaking resume with ACCUMULATION_STEPS>1."""
+    import jax.numpy as jnp
+    if target is None:
+        return None
+    if isinstance(target, dict):
+        return {k: _rebuild_like(v, restored[k]) for k, v in target.items()}
+    if hasattr(target, "_fields"):            # namedtuple (optax states)
+        vals = [_rebuild_like(getattr(target, f), restored[f])
+                for f in target._fields]
+        return type(target)(*vals)
+    if isinstance(target, (list, tuple)):
+        if isinstance(restored, dict):        # orbax may key tuples "0","1",…
+            items = [restored[str(i)] for i in range(len(target))]
+        else:
+            items = list(restored)
+        rebuilt = [_rebuild_like(t, r) for t, r in zip(target, items)]
+        return type(target)(rebuilt) if isinstance(target, tuple) else rebuilt
+    return jnp.asarray(restored)
+
+
+def restore_train_state(path: str, state, with_meta: bool = False):
     """Restore a TrainState saved by the harness; unknown fields are kept
-    from the incoming state (e.g. when only bare params were saved)."""
+    from the incoming state (e.g. when only bare params were saved).
+    With ``with_meta``, also returns {"epoch", "best_f1"} scalars so the
+    trainers can resume the epoch counter and EarlyStopper (the reference
+    restores config.TRAIN.START_EPOCH = epoch+1 and max_f1, utils.py:143-176)."""
     import jax.numpy as jnp
     tree = load_checkpoint(path)
     kwargs = {"params": tree["params"]}
     if tree.get("opt_state") is not None:
-        import jax
-        # orbax restores as nested dicts/lists; rebuild the optax structure
-        target = jax.tree_util.tree_structure(state.opt_state)
-        leaves = jax.tree_util.tree_leaves(tree["opt_state"])
-        kwargs["opt_state"] = jax.tree_util.tree_unflatten(target, leaves)
+        kwargs["opt_state"] = _rebuild_like(state.opt_state, tree["opt_state"])
     if tree.get("batch_stats") is not None:
         kwargs["batch_stats"] = tree["batch_stats"]
     if tree.get("step") is not None:
         kwargs["step"] = jnp.asarray(tree["step"], jnp.int32)
-    return state.replace(**kwargs)
+    new_state = state.replace(**kwargs)
+    if not with_meta:
+        return new_state
+    meta = {"epoch": int(tree["epoch"]) if tree.get("epoch") is not None else -1,
+            "best_f1": (float(tree["best_f1"])
+                        if tree.get("best_f1") is not None else float("-inf"))}
+    return new_state, meta

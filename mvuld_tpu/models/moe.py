@@ -59,16 +59,21 @@ class MoEFFN(nn.Module):
         ce = jax.nn.one_hot(top1, E).mean(axis=0)
         aux = self.aux_weight * E * jnp.sum(me * ce)
 
-        # top-k dispatch with per-expert capacity
+        # top-k dispatch with per-expert capacity. Pass-k slot counters are
+        # offset by the per-expert assignment counts of earlier passes
+        # (GShard top-2 gating) so 1st- and 2nd-choice tokens never collide
+        # in the same (expert, slot).
         topk_p, topk_e = jax.lax.top_k(probs, self.top_k)        # [T, K]
         combine = jnp.zeros((T, E, C), probs.dtype)
         dispatch = jnp.zeros((T, E, C), bool)
+        prior_counts = jnp.zeros((E,), jnp.int32)                 # from passes <k
         for k in range(self.top_k):
             e_k = topk_e[:, k]                                    # [T]
             onehot = jax.nn.one_hot(e_k, E, dtype=jnp.int32)      # [T, E]
             pos = jnp.cumsum(onehot, axis=0) * onehot - 1         # slot per token
-            slot = (pos * onehot).sum(axis=-1)                    # [T]
+            slot = (pos * onehot).sum(axis=-1) + prior_counts[e_k]  # [T]
             keep = slot < C
+            prior_counts = prior_counts + onehot.sum(axis=0)
             w = topk_p[:, k] * keep
             combine = combine + (jax.nn.one_hot(e_k, E)[..., None]
                                  * jax.nn.one_hot(jnp.clip(slot, 0, C - 1), C)[:, None, :]

@@ -55,6 +55,15 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def shard_superbatch(mesh: Mesh, superbatch: Any) -> Any:
+    """Place a stacked [K, B, ...] superbatch (K fused steps) on the mesh
+    with the BATCH axis (axis 1) sharded over dp; the scanned step axis K is
+    replicated. Using :func:`shard_batch` here would shard the step axis —
+    wrong whenever K != dp and silently not data-parallel when K == dp."""
+    sh = NamedSharding(mesh, P(None, "dp"))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), superbatch)
+
+
 def replicate(mesh: Mesh, tree: Any) -> Any:
     rep = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)

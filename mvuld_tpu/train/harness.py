@@ -14,12 +14,13 @@ from typing import Callable, Dict, Optional
 import jax
 import numpy as np
 
-from mvuld_tpu.core.checkpoint import save_checkpoint
+from mvuld_tpu.core.checkpoint import (restore_train_state, resume_ladder,
+                                       save_checkpoint)
 from mvuld_tpu.core.logger import AverageMeter, create_logger
 from mvuld_tpu.core.metrics import format_metrics, get_metrics_logits
 from mvuld_tpu.core.train_state import EarlyStopper, TrainState
 from mvuld_tpu.data.loader import ArrayDataset, eval_batches, train_batches
-from mvuld_tpu.parallel.mesh import shard_batch
+from mvuld_tpu.parallel.mesh import shard_batch, shard_superbatch
 
 
 def run_eval(eval_step: Callable, state: TrainState, ds: ArrayDataset,
@@ -63,7 +64,28 @@ def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
     best_state = state
     history = []
 
-    for epoch in range(cfg.TRAIN.START_EPOCH, cfg.TRAIN.EPOCHS):
+    # Resume ladder (reference: MODEL.RESUME > BEST_RESUME > AUTO_RESUME,
+    # mvuld/main.py:147-191): restore full state + epoch counter + best F1
+    # so an interrupted run continues instead of restarting from scratch.
+    start_epoch = cfg.TRAIN.START_EPOCH
+    resume_path = (resume_ladder(output_dir, cfg.MODEL.RESUME,
+                                 cfg.TRAIN.BEST_RESUME, cfg.TRAIN.AUTO_RESUME)
+                   if output_dir else None)
+    if resume_path:
+        state, meta = restore_train_state(resume_path, state, with_meta=True)
+        if mesh is not None:
+            from mvuld_tpu.parallel.mesh import replicate
+            state = replicate(mesh, state)
+        if meta["epoch"] >= 0:
+            start_epoch = max(start_epoch, meta["epoch"] + 1)
+        if meta["best_f1"] > float("-inf"):
+            stopper.best = meta["best_f1"]
+            stopper.best_epoch = meta["epoch"]
+        best_state = state
+        logger.info(f"resumed from {resume_path}: epoch {meta['epoch']}, "
+                    f"best_f1 {meta['best_f1']:.4f}")
+
+    for epoch in range(start_epoch, cfg.TRAIN.EPOCHS):
         t_epoch = time.time()
         loss_meter, speed_meter = AverageMeter(), AverageMeter()
         pending = []
@@ -79,7 +101,9 @@ def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
                 superbatch = {k: np.stack([p[k] for p in pending])
                               for k in pending[0]}
                 pending = []
-                b = shard_batch(mesh, superbatch) if mesh is not None else superbatch
+                # batch axis is axis 1 of the [K, B, ...] superbatch
+                b = (shard_superbatch(mesh, superbatch)
+                     if mesh is not None else superbatch)
                 state, metrics = multi_step(state, b, rng)
                 step_loss = metrics["loss"][-1]
                 n_done = fused_steps * batch_size
@@ -118,6 +142,18 @@ def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
                                  "epoch": epoch,
                                  "best_f1": val_metrics["f1"]},
                                 best=True)
+        # periodic epoch checkpoint for AUTO_RESUME (reference: SAVE_FREQ,
+        # save_checkpoint main.py:237-241) — full state so a killed run can
+        # continue with its optimizer moments and epoch counter intact
+        if output_dir and cfg.SAVE_FREQ > 0 and (
+                epoch % cfg.SAVE_FREQ == 0 or epoch == cfg.TRAIN.EPOCHS - 1):
+            save_checkpoint(output_dir, epoch,
+                            {"params": jax.device_get(state.params),
+                             "opt_state": jax.device_get(state.opt_state),
+                             "batch_stats": jax.device_get(state.batch_stats),
+                             "step": int(state.step),
+                             "epoch": epoch,
+                             "best_f1": stopper.best}, best=False)
         if stopper.should_stop:
             logger.info(f"early stop at epoch {epoch} "
                         f"(best f1 {stopper.best:.4f} @ {stopper.best_epoch})")

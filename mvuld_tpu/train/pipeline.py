@@ -6,14 +6,21 @@ one entry point with idempotent stages:
 
   1. prepare   — clean/split/rebalance the corpus (or generate synthetic),
   2. text      — fine-tune the UniXcoder classifier; keep encoder + tokenizer,
-  3. render    — CPGs → PNGs + oracle/OCR node positions,
-  4. cache     — npz feature caches using the TRAINED text encoder
-                 (and SwinV2 features — random-init unless --swin-ckpt),
-  5. fuse      — train the fusion architecture; report test metrics.
+  3. image     — fine-tune SwinV2 on the rendered graphs (--swin-epochs N) or
+                 load a trained best-F1 checkpoint (--swin-ckpt DIR|PATH); the
+                 FROZEN trained encoder then produces img_emb, mirroring the
+                 reference's load_bestf1_swin + cache_swin_features
+                 (mvuld/data/bigvul_dataset.py:60-80,104-106;
+                 data_list.py:179-211). Without either flag a random
+                 projection stands in (tests without checkpoints).
+  4. render    — CPGs → PNGs + oracle/OCR node positions,
+  5. cache     — npz feature caches from the TRAINED text + image encoders,
+  6. fuse      — train the fusion architecture; report test metrics.
 
 Usage:
   python -m mvuld_tpu.train.pipeline --synthetic 400 --out runs/pipeline \
-      [--arch multi_defect_new_gcn] [--data corpus.pkl] [--opts ...]
+      [--arch multi_defect_new_gcn] [--swin-epochs 3 | --swin-ckpt runs/swin] \
+      [--data corpus.pkl] [--opts ...]
 """
 
 from __future__ import annotations
@@ -31,6 +38,14 @@ def main(argv=None) -> dict:
     parser.add_argument("--arch", default="multi_defect_new_gcn")
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--text-epochs", type=int, default=6)
+    parser.add_argument("--swin-epochs", type=int, default=0,
+                        help="fine-tune SwinV2 on the rendered graphs for N "
+                             "epochs before caching image features")
+    parser.add_argument("--swin-ckpt", default=None,
+                        help="trained SwinV2 checkpoint: an orbax ckpt path, "
+                             "a train_swin output dir (best-F1 picked), or a "
+                             "torch .pth to convert (used as --pretrained "
+                             "when fine-tuning)")
     parser.add_argument("--fusion-epochs", type=int, default=8)
     parser.add_argument("--opts", nargs="+", default=None)
     args = parser.parse_args(argv)
@@ -98,8 +113,65 @@ def main(argv=None) -> dict:
         import pandas as pd
         df = pd.read_pickle(args.data)
 
-    _, swin_encoder = make_random_encoders(cfg)
     cache_dir = os.path.join(args.out, "cache")
+
+    # ---- stage: trained image encoder (fine-tune and/or load best-F1)
+    swin_encoder = None
+    if args.swin_epochs > 0 or args.swin_ckpt:
+        from mvuld_tpu.models.swin_v2 import SwinTransformerV2, SwinV2Config
+
+        sc = SwinV2Config.from_cfg(cfg)
+        if args.swin_epochs > 0:
+            from mvuld_tpu.train.train_swin import main as swin_main
+            swin_args = ["--batch-size", str(args.batch_size),
+                         "--output", os.path.join(args.out, "swin"),
+                         "--cache-dir", cache_dir]
+            if args.swin_ckpt and args.swin_ckpt.endswith((".pth", ".pt", ".bin")):
+                swin_args += ["--pretrained", args.swin_ckpt]
+            if args.synthetic:
+                swin_args = ["--synthetic", str(args.synthetic)] + swin_args
+            else:
+                swin_args = ["--data", args.data] + swin_args
+            swin_args += ["--opts", *common_opts,
+                          "TRAIN.EPOCHS", str(args.swin_epochs)]
+            swin_res = swin_main(swin_args)
+            swin_params = jax.device_get(swin_res["state"].params)
+            logger.info(f"swin stage done: best_f1={swin_res['best_f1']:.4f}")
+        else:
+            from mvuld_tpu.core.checkpoint import (load_checkpoint,
+                                                   resume_bestf1_helper)
+            path = args.swin_ckpt
+            if os.path.isdir(path) and not os.path.basename(path).startswith(
+                    "best_f1_epoch_"):
+                # a train_swin output root: find checkpoint-best-f1 anywhere
+                # under it (OUTPUT/MODEL.NAME/TAG nesting, config.py:257)
+                import glob
+                cands = sorted(glob.glob(os.path.join(
+                    path, "**", "checkpoint-best-f1"), recursive=True))
+                if not cands:
+                    raise FileNotFoundError(
+                        f"no checkpoint-best-f1 under {path}")
+                path = resume_bestf1_helper(os.path.dirname(cands[-1]))
+            swin_params = load_checkpoint(path)["params"]
+            logger.info(f"loaded trained swin encoder from {path}")
+
+        # frozen forward_features featurizer (cache_swin_features equivalent)
+        swin_model = SwinTransformerV2(sc, scan_blocks=True)
+
+        @jax.jit
+        def _feat(x):
+            return swin_model.apply({"params": swin_params}, x,
+                                    deterministic=True, return_features=True)
+
+        def swin_encoder(imgs: np.ndarray) -> np.ndarray:
+            return np.asarray(_feat(jnp.asarray(np.asarray(imgs), jnp.float32)))
+
+        cfg.defrost()
+        cfg.MODEL.MULTI.IMG_DIM = sc.num_features
+        cfg.freeze()
+
+    if swin_encoder is None:
+        _, swin_encoder = make_random_encoders(cfg)
     build_fusion_cache(df, cache_dir, cfg, text_encoder=text_encoder,
                        swin_encoder=swin_encoder, tokenizer=tok, logger=logger)
 
@@ -111,6 +183,7 @@ def main(argv=None) -> dict:
         "--arch", args.arch,
         "--opts", *common_opts,
         "MODEL.MULTI.TEXT_DIM", str(rcfg.hidden_size),
+        "MODEL.MULTI.IMG_DIM", str(cfg.MODEL.MULTI.IMG_DIM),
         "TRAIN.EPOCHS", str(args.fusion_epochs),
     ])
     summary = {
@@ -119,6 +192,8 @@ def main(argv=None) -> dict:
         "fusion_best_f1": fusion_res["best_f1"],
         "fusion_test": fusion_res.get("test_metrics"),
         "arch": args.arch,
+        "image_encoder": ("trained" if (args.swin_epochs > 0 or args.swin_ckpt)
+                          else "random_projection"),
     }
     with open(os.path.join(args.out, "pipeline_summary.json"), "w") as f:
         json.dump(summary, f, indent=1, default=float)

@@ -62,6 +62,9 @@ def main(argv=None) -> dict:
     parser.add_argument("--test", action="store_true")
     parser.add_argument("--throughput", action="store_true")
     parser.add_argument("--output", default=None)
+    parser.add_argument("--cache-dir", dest="cache_dir", default=None,
+                        help="shared image/pos cache dir (pipeline reuse); "
+                             "defaults to OUTPUT/cache")
     parser.add_argument("--opts", nargs="+", default=None)
     args = parser.parse_args(argv)
 
@@ -111,13 +114,16 @@ def main(argv=None) -> dict:
 
         x = jnp.asarray(np.random.RandomState(0).randn(B, size, size, 3),
                         jnp.float32)
-        for _ in range(5):
+        # reference protocol: 50 warmup + 30 timed iters (main.py:438-455);
+        # end-of-loop host fetch instead of block_until_ready (unreliable
+        # through tunneled backends)
+        for _ in range(50):
             y = fwd(params, x)
-        jax.block_until_ready(y)
+        _ = np.asarray(y)
         t0 = time.time()
         for _ in range(30):
             y = fwd(params, x)
-        jax.block_until_ready(y)
+        _ = np.asarray(y)
         dt = time.time() - t0
         tp = 30 * B / dt
         logger.info(f"throughput: {tp:.1f} images/s (batch {B})")
@@ -131,8 +137,9 @@ def main(argv=None) -> dict:
     else:
         import pandas as pd
         df = pd.read_pickle(args.data)
-    img_dir = os.path.join(cfg.OUTPUT, "cache", "imgs")
-    pos_dir = os.path.join(cfg.OUTPUT, "cache", "pos")
+    cache_root = args.cache_dir or os.path.join(cfg.OUTPUT, "cache")
+    img_dir = os.path.join(cache_root, "imgs")
+    pos_dir = os.path.join(cache_root, "pos")
     datasets = build_image_datasets(cfg, df, img_dir, pos_dir, logger)
     logger.info(f"dataset sizes: { {k: len(v) for k, v in datasets.items()} }")
 
@@ -146,19 +153,22 @@ def main(argv=None) -> dict:
         return model.apply(vs, batch["image"], deterministic=not train,
                            rngs=rngs)
 
-    train_step = make_train_step(apply_fn, tx,
-                                 label_smoothing=0.0,  # folded into soft targets
+    # batch-level mixup/cutmix producing soft targets (main.py:267-269)
+    mix_rng = np.random.RandomState(cfg.SEED + 1)
+    use_mix = cfg.AUG.MIXUP > 0 or cfg.AUG.CUTMIX > 0
+    # mixup folds LABEL_SMOOTHING into the soft targets; without mixup the
+    # reference falls back to LabelSmoothingCrossEntropy (main.py:136-142)
+    smoothing = 0.0 if use_mix else cfg.MODEL.LABEL_SMOOTHING
+
+    train_step = make_train_step(apply_fn, tx, label_smoothing=smoothing,
                                  donate=False)
     multi_step = None
     if cfg.TRAIN.FUSED_STEPS > 1:
         from mvuld_tpu.core.train_state import make_multi_train_step
         multi_step = make_multi_train_step(apply_fn, tx, cfg.TRAIN.FUSED_STEPS,
-                                           label_smoothing=0.0, donate=False)
+                                           label_smoothing=smoothing,
+                                           donate=False)
     eval_step = make_eval_step(apply_fn)
-
-    # batch-level mixup/cutmix producing soft targets (main.py:267-269)
-    mix_rng = np.random.RandomState(cfg.SEED + 1)
-    use_mix = cfg.AUG.MIXUP > 0 or cfg.AUG.CUTMIX > 0
 
     def batch_hook(batch, epoch, it):
         if use_mix:

@@ -44,6 +44,61 @@ def test_full_pipeline(tmp_path):
     assert res["fusion_best_f1"] > 0.5
     summary = json.load(open(os.path.join(out, "pipeline_summary.json")))
     assert summary["arch"] == "multi_defect_new_gcn"
+    assert summary["image_encoder"] == "random_projection"
     # caches exist and are reusable
     for part in ("train", "val", "test"):
         assert os.path.exists(os.path.join(out, "cache", f"{part}.npz"))
+
+
+def test_pipeline_with_trained_swin(tmp_path):
+    """--swin-epochs: the image modality comes from a FINE-TUNED SwinV2's
+    forward_features (reference: load_bestf1_swin + cache_swin_features),
+    not a random projection; IMG_DIM follows the encoder width."""
+    from mvuld_tpu.train.pipeline import main
+    out = str(tmp_path / "run")
+    res = main([
+        "--synthetic", "96",
+        "--out", out,
+        "--batch-size", "8",
+        "--text-epochs", "2",
+        "--swin-epochs", "1",
+        "--fusion-epochs", "3",
+        "--opts",
+        "MODEL.UNIXCODER.LAYERS", "1",
+        "MODEL.UNIXCODER.HIDDEN", "32",
+        "MODEL.UNIXCODER.HEADS", "2",
+        "MODEL.UNIXCODER.INTERMEDIATE", "64",
+        "MODEL.SWINV2.EMBED_DIM", "16",
+        "MODEL.SWINV2.DEPTHS", "[1, 1]",
+        "MODEL.SWINV2.NUM_HEADS", "[2, 2]",
+        "MODEL.SWINV2.WINDOW_SIZE", "4",
+        "MODEL.SWINV2.PRETRAINED_WINDOW_SIZES", "[0, 0]",
+        "DATA.IMG_SIZE", "32",
+        "DATA.FUNC_TOKENS", "64",
+        "DATA.NODE_TOKENS", "16",
+        "DATA.MAX_NODES", "24",
+        "MODEL.MULTI.HIDDEN", "48",
+        "MODEL.MULTI.NUM_RS_GCN", "1",
+        "MODEL.MULTI.NUM_HIDDEN_FC", "1",
+        "TRAIN.WARMUP_EPOCHS", "0",
+        "TRAIN.BASE_LR", "5e-3",
+        "TRAIN.WARMUP_LR", "1e-4",
+        "TRAIN.MIN_LR", "1e-4",
+        "TRAIN.EARLY_STOP_PATIENCE", "20",
+        "AUG.MIXUP", "0.0",
+        "AUG.CUTMIX", "0.0",
+        "PARALLEL.DTYPE", "float32",
+        "PRINT_FREQ", "50",
+    ])
+    assert np.isfinite(res["fusion_best_f1"])
+    summary = json.load(open(os.path.join(out, "pipeline_summary.json")))
+    assert summary["image_encoder"] == "trained"
+    # cached img_emb really is the 2*EMBED_DIM-wide swin feature, and the
+    # trained-encoder best-F1 checkpoint exists on disk for reuse
+    cache = np.load(os.path.join(out, "cache", "train.npz"))
+    assert cache["img_emb"].shape[1] == 32          # num_features = 16 * 2
+    assert np.abs(cache["img_emb"]).sum() > 0
+    # best-F1 checkpoint exists under the OUTPUT/MODEL.NAME/TAG convention
+    import glob
+    assert glob.glob(os.path.join(out, "swin", "**", "checkpoint-best-f1"),
+                     recursive=True)

@@ -85,15 +85,22 @@ def _stub_timm():
     models = types.ModuleType("timm.models")
     models.layers = layers
     timm.models = models
-    sys.modules.setdefault("timm", timm)
-    sys.modules.setdefault("timm.models", models)
-    sys.modules.setdefault("timm.models.layers", layers)
+    injected = {}
+    for name, mod in (("timm", timm), ("timm.models", models),
+                      ("timm.models.layers", layers)):
+        if name not in sys.modules:
+            sys.modules[name] = mod
+            injected[name] = mod
+    return injected
 
 
 @pytest.fixture(scope="module")
 def reference_swin():
+    """Reference torch SwinV2 behind a SCOPED timm stub: the fake modules are
+    removed at teardown so later tests (e.g. transformers imports probing
+    timm) see the real environment regardless of test order."""
     torch = pytest.importorskip("torch")
-    _stub_timm()
+    injected = _stub_timm()
     sys.path.insert(0, "/root/reference/mvuld/models")
     import importlib
     ref_mod = importlib.import_module("swin_transformer_v2")
@@ -103,7 +110,14 @@ def reference_swin():
         depths=[1, 2], num_heads=[2, 4], window_size=4, drop_rate=0.0,
         attn_drop_rate=0.0, drop_path_rate=0.0,
         pretrained_window_sizes=[0, 0]).eval()
-    return torch, model
+    yield torch, model
+    for name in injected:
+        sys.modules.pop(name, None)
+    sys.modules.pop("swin_transformer_v2", None)
+    try:
+        sys.path.remove("/root/reference/mvuld/models")
+    except ValueError:
+        pass
 
 
 def test_parity_with_reference_torch(reference_swin):
