@@ -30,7 +30,8 @@ def load_cached_datasets(cache_paths):
         out[part] = ArrayDataset({
             "img_emb": z["img_emb"], "text_emb": z["text_emb"],
             "node_emb": z["node_emb"], "pos": z["pos"], "adj": z["adj"],
-            "node_mask": z["node_mask"], "label": z["label"],
+            "node_mask": z["node_mask"], "ntype": z["ntype"],
+            "label": z["label"],
         })
     return out
 
@@ -109,7 +110,8 @@ def main(argv=None) -> dict:
         adj = (batch["adj"] & np.uint8(bits)) != 0
         kwargs = dict(img_emb=batch["img_emb"], text_emb=batch["text_emb"],
                       node_emb=batch["node_emb"], pos=batch["pos"], adj=adj,
-                      node_mask=batch["node_mask"], train=train)
+                      node_mask=batch["node_mask"],
+                      ntype=batch.get("ntype"), train=train)
         if mutable:
             return model.apply(vs, **kwargs, rngs=rngs, mutable=mutable)
         return model.apply(vs, **kwargs, rngs=rngs)
@@ -122,7 +124,7 @@ def main(argv=None) -> dict:
         rng, img_emb=init_batch["img_emb"], text_emb=init_batch["text_emb"],
         node_emb=init_batch["node_emb"], pos=init_batch["pos"],
         adj=(init_batch["adj"] > 0), node_mask=init_batch["node_mask"],
-        train=False)
+        ntype=init_batch.get("ntype"), train=False)
     has_bn = "batch_stats" in variables
 
     mesh = make_mesh(cfg.PARALLEL.DP, cfg.PARALLEL.MP)

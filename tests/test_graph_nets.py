@@ -31,6 +31,7 @@ def _batch(seed=0, n_valid=(5, 8)):
         "pos": (rng.rand(B, N, 4) * node_mask[..., None]).astype(np.float32),
         "adj": adj,
         "node_mask": node_mask,
+        "ntype": rng.randint(0, 32, (B, N)).astype(np.int32),
     }
 
 
@@ -124,12 +125,22 @@ def test_ggnn_shapes():
     assert out.shape == (2, 6, 16)
 
 
-@pytest.mark.parametrize("arch", ["multi_defect_new_gcn", "multi_defect",
-                                  "multi_defect_nograph", "multi_defect_011",
-                                  "multi_defect_noglobalimage",
-                                  "motivation_image", "motivation_functext",
-                                  "motivation_graph"])
-def test_fusion_zoo_forward(arch):
+# every reference ablation class has a registry key (GraphModel.py 13,
+# new_model.py 2, myModels.py 3, MotivationModel.py 5)
+ALL_ARCHS = [
+    "multi_defect_new_gcn", "multi_defect", "multi_defect_nograph",
+    "multi_defect_000", "multi_defect_001", "multi_defect_100",
+    "multi_defect_110", "multi_defect_gatpos", "multi_defect_011",
+    "multi_defect_nogat", "multi_defect_nogat2", "multi_defect_nogat3",
+    "multi_defect_nogat4", "multi_defect_noglobalimage",
+    "multi_defect_nofunc", "multi_defect_allnode", "multi_defect_grudot",
+    "multi_defect_gruproj", "motivation_image", "motivation_functext",
+    "motivation_graph", "motivation_graph1", "motivation_graph_mean",
+]
+
+
+@pytest.mark.parametrize("arch", ALL_ARCHS)
+def test_fusion_zoo_forward_and_grad(arch):
     cfg = default_config()
     model = build_fusion_model(cfg, arch=arch)
     b = _batch()
@@ -138,20 +149,30 @@ def test_fusion_zoo_forward(arch):
     logits = model.apply(variables, **args, train=False)
     assert logits.shape == (B, 2)
     assert np.isfinite(np.asarray(logits)).all()
-    # train-mode forward with dropout rng + BN mutation
-    logits_t, mutated = model.apply(
-        variables, **args, train=True,
-        rngs={"dropout": jax.random.PRNGKey(1)}, mutable=["batch_stats"])
-    assert logits_t.shape == (B, 2)
-    assert "batch_stats" in mutated
+    # train-mode forward+grad with dropout rng (+ BN mutation when present)
+    has_bn = "batch_stats" in variables
+    labels = jnp.asarray(np.array([0, 1], np.int32))
+
+    def loss_fn(params):
+        vs = {"params": params}
+        if has_bn:
+            vs["batch_stats"] = variables["batch_stats"]
+            out, _ = model.apply(vs, **args, train=True,
+                                 rngs={"dropout": jax.random.PRNGKey(1)},
+                                 mutable=["batch_stats"])
+        else:
+            out = model.apply(vs, **args, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(1)})
+        logp = jax.nn.log_softmax(out)
+        return -logp[jnp.arange(B), labels].mean()
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(jnp.abs(g).sum())
+                for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
 
 
 def test_registry_covers_ablation_zoo():
-    keys = set(FUSION_MODELS.keys())
-    required = {"multi_defect_new_gcn", "multi_defect", "multi_defect_nograph",
-                "multi_defect_000", "multi_defect_001", "multi_defect_100",
-                "multi_defect_110", "multi_defect_011", "multi_defect_gatpos",
-                "multi_defect_nogat", "multi_defect_noglobalimage",
-                "multi_defect_nofunc", "motivation_image",
-                "motivation_functext", "motivation_graph"}
-    assert required <= keys
+    assert set(ALL_ARCHS) <= set(FUSION_MODELS.keys())
+    assert len(ALL_ARCHS) == 23
