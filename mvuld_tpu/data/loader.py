@@ -78,3 +78,47 @@ def eval_batches(ds: ArrayDataset, batch_size: int
 
 def steps_per_epoch(n: int, batch_size: int) -> int:
     return n // batch_size
+
+
+class Prefetcher:
+    """Background-thread prefetch over a batch iterator.
+
+    The torch DataLoader(num_workers=8) equivalent for this single-host
+    pipeline (reference: mvuld/data/bigvul_dataset.py:177-205): a producer
+    thread pulls from ``it``, applies ``place_fn`` (augmentation +
+    ``shard_batch``'s device_put), and keeps up to ``depth`` device-ready
+    batches queued — so host input work overlaps device compute instead of
+    serializing with it. Exceptions propagate to the consumer.
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, it, place_fn: Optional[Callable] = None,
+                 depth: int = 2):
+        import queue
+        import threading
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err = None
+        self.produced = 0          # observable progress (tests)
+
+        def run():
+            try:
+                for item in it:
+                    self._q.put(place_fn(item) if place_fn else item)
+                    self.produced += 1
+            except BaseException as e:   # noqa: BLE001 — propagate to consumer
+                self._err = e
+            finally:
+                self._q.put(self._SENTINEL)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._SENTINEL:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item

@@ -85,16 +85,18 @@ def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
         logger.info(f"resumed from {resume_path}: epoch {meta['epoch']}, "
                     f"best_f1 {meta['best_f1']:.4f}")
 
-    for epoch in range(start_epoch, cfg.TRAIN.EPOCHS):
-        t_epoch = time.time()
-        loss_meter, speed_meter = AverageMeter(), AverageMeter()
+    use_fused = multi_step is not None and fused_steps > 1
+
+    def host_stream(epoch: int):
+        """Yield (is_multi, device-ready batch, first_it, n_samples).
+        Runs inside the Prefetcher thread: augmentation (batch_hook),
+        superbatch stacking and device_put all overlap device compute."""
         pending = []
         it = -1
         for raw in train_batches(train_ds, batch_size, epoch, cfg.SEED):
             it += 1
             batch = batch_hook(raw, epoch, it) if batch_hook else raw
-            t0 = time.time()
-            if multi_step is not None and fused_steps > 1:
+            if use_fused:
                 pending.append(batch)
                 if len(pending) < fused_steps:
                     continue
@@ -104,25 +106,34 @@ def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
                 # batch axis is axis 1 of the [K, B, ...] superbatch
                 b = (shard_superbatch(mesh, superbatch)
                      if mesh is not None else superbatch)
-                state, metrics = multi_step(state, b, rng)
-                step_loss = metrics["loss"][-1]
-                n_done = fused_steps * batch_size
+                yield True, b, it - fused_steps + 1, fused_steps * batch_size
             else:
                 b = shard_batch(mesh, batch) if mesh is not None else batch
+                yield False, b, it, batch_size
+        # epoch remainder that didn't fill a superbatch: per-batch steps
+        for batch in pending:
+            b = shard_batch(mesh, batch) if mesh is not None else batch
+            yield False, b, it, batch_size
+
+    for epoch in range(start_epoch, cfg.TRAIN.EPOCHS):
+        t_epoch = time.time()
+        loss_meter, speed_meter = AverageMeter(), AverageMeter()
+        from mvuld_tpu.data.loader import Prefetcher
+        for is_multi, b, it, n_done in Prefetcher(host_stream(epoch), depth=2):
+            t0 = time.time()
+            if is_multi:
+                state, metrics = multi_step(state, b, rng)
+                step_loss = metrics["loss"][-1]
+            else:
                 state, metrics = train_step(state, b, rng)
                 step_loss = metrics["loss"]
-                n_done = batch_size
-            if it % cfg.PRINT_FREQ < (fused_steps if multi_step else 1):
+            if it % cfg.PRINT_FREQ < (fused_steps if use_fused else 1):
                 loss = float(step_loss)         # forces sync — only on print
                 loss_meter.update(loss, n_done)
                 speed_meter.update(n_done / max(time.time() - t0, 1e-9))
                 logger.info(
                     f"epoch {epoch} it {it}: loss {loss:.4f} "
                     f"({speed_meter.val:.1f} samples/s)")
-        # epoch remainder that didn't fill a superbatch: per-batch steps
-        for batch in pending:
-            b = shard_batch(mesh, batch) if mesh is not None else batch
-            state, metrics = train_step(state, b, rng)
 
         val_metrics = run_eval(eval_step, state, val_ds, batch_size, mesh)
         history.append({"epoch": epoch, **val_metrics})

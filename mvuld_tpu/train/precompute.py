@@ -27,57 +27,86 @@ from typing import Dict
 import numpy as np
 
 
-def render_corpus(df, img_dir: str, pos_dir: str, gtype: str = "all",
-                  logger=None) -> Dict[int, str]:
-    """Render every function's CPG to PNG + norm-pos pickle (idempotent).
-    Returns {_id: img_path}; unparseable functions are dropped (the
-    reference's check_validity filter, getImages.py:22-51)."""
+def _render_one(item: Dict, img_dir: str, pos_dir: str, gtype: str):
+    """Render a single function (module-level so dfmp can pickle it)."""
     from mvuld_tpu.tools.cpg import extract_line_cpg
     from mvuld_tpu.tools.render import render_cpg, save_norm_pos
 
+    _id = int(item["_id"])
+    img_path = os.path.join(img_dir, f"{_id}.png")
+    pos_path = os.path.join(pos_dir, f"{_id}.pkl")
+    if os.path.exists(img_path) and os.path.exists(pos_path):
+        return (_id, img_path)
+    cpg = extract_line_cpg(item["func_before"])
+    if cpg is None:
+        return None
+    g = cpg.filtered(gtype)
+    if len(g.nodes) < 2:
+        return None
+    _img, pos = render_cpg(g, out_path=img_path)
+    save_norm_pos(pos, pos_path)
+    return (_id, img_path)
+
+
+def render_corpus(df, img_dir: str, pos_dir: str, gtype: str = "all",
+                  logger=None, workers: int = 6) -> Dict[int, str]:
+    """Render every function's CPG to PNG + norm-pos pickle (idempotent),
+    dfmp-parallel over rows (the reference runs getGraphs under dfmp with 8
+    workers, getImages.py:266-270). Returns {_id: img_path}; unparseable
+    functions are dropped (check_validity filter, getImages.py:22-51)."""
+    import functools
+
+    from mvuld_tpu.tools.storage import dfmp
+
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(pos_dir, exist_ok=True)
-    paths = {}
-    for _, row in df.iterrows():
-        _id = int(row._id)
-        img_path = os.path.join(img_dir, f"{_id}.png")
-        pos_path = os.path.join(pos_dir, f"{_id}.pkl")
-        if os.path.exists(img_path) and os.path.exists(pos_path):
-            paths[_id] = img_path
-            continue
-        cpg = extract_line_cpg(row.func_before)
-        if cpg is None:
-            continue
-        g = cpg.filtered(gtype)
-        if len(g.nodes) < 2:
-            continue
-        _img, pos = render_cpg(g, out_path=img_path)
-        save_norm_pos(pos, pos_path)
-        paths[_id] = img_path
+    fn = functools.partial(_render_one, img_dir=img_dir, pos_dir=pos_dir,
+                           gtype=gtype)
+    results = dfmp(df, fn, columns=["_id", "func_before"], workers=workers)
+    paths = dict(r for r in results if r)
     if logger:
         logger.info(f"rendered {len(paths)}/{len(df)} graphs → {img_dir}")
     return paths
 
 
+def _pack_one(item: Dict, pos_dir: str, gtype: str, max_nodes: int):
+    """Extract + pack one function's graph (module-level for dfmp)."""
+    from mvuld_tpu.data.graph_batch import pack_graph
+    from mvuld_tpu.tools.cpg import extract_line_cpg
+    from mvuld_tpu.tools.render import load_norm_pos
+
+    _id = int(item["_id"])
+    cpg = extract_line_cpg(item["func_before"])
+    pos_dict = load_norm_pos(os.path.join(pos_dir, f"{_id}.pkl"))
+    return pack_graph(cpg, max_nodes, pos_dict=pos_dict, gtype=gtype)
+
+
 def build_fusion_cache(df, cache_dir: str, cfg, *, text_encoder=None,
-                       swin_encoder=None, tokenizer=None,
-                       logger=None) -> Dict[str, str]:
+                       swin_encoder=None, tokenizer=None, logger=None,
+                       workers: int = 6, encode_batch: int = 32
+                       ) -> Dict[str, str]:
     """Build {part}.npz caches for all partitions present in ``df``.
 
     ``text_encoder`` / ``swin_encoder``: callables ids→emb / images→emb.
     When None, frozen random-init encoders are used (lets the graph-only and
     pipeline tests run without trained checkpoints).
+
+    Host parallelism + batching: graph extraction/packing runs under dfmp
+    (the reference dfmp's cache passes, data_list.py:155-164); encoder calls
+    are batched ``encode_batch`` rows at a time instead of one jit dispatch
+    per row/graph — the big win for real-corpus ingestion.
     """
-    from mvuld_tpu.data.graph_batch import pack_graph
-    from mvuld_tpu.data.transforms import load_image, resize_normalize
+    import functools
+
     from mvuld_tpu.data.tokenizer import normalize_line
-    from mvuld_tpu.tools.cpg import extract_line_cpg
-    from mvuld_tpu.tools.render import load_norm_pos
+    from mvuld_tpu.data.transforms import load_image, resize_normalize
+    from mvuld_tpu.tools.storage import dfmp
 
     os.makedirs(cache_dir, exist_ok=True)
     img_dir = os.path.join(cache_dir, "imgs")
     pos_dir = os.path.join(cache_dir, "pos")
-    paths = render_corpus(df, img_dir, pos_dir, cfg.DATA.GTYPE, logger)
+    paths = render_corpus(df, img_dir, pos_dir, cfg.DATA.GTYPE, logger,
+                          workers=workers)
 
     M = cfg.DATA.MAX_NODES
     out_paths = {}
@@ -103,37 +132,60 @@ def build_fusion_cache(df, cache_dir: str, cfg, *, text_encoder=None,
             "label": rows.vul.to_numpy().astype(np.int32),
             "ids": rows._id.to_numpy().astype(np.int64),
         }
-        for i, (_, row) in enumerate(rows.iterrows()):
-            _id = int(row._id)
-            cpg = extract_line_cpg(row.func_before)
-            pos_dict = load_norm_pos(os.path.join(pos_dir, f"{_id}.pkl"))
-            pg = pack_graph(cpg, M, pos_dict=pos_dict, gtype=cfg.DATA.GTYPE)
+
+        # --- graph extraction + packing, dfmp-parallel over rows
+        pack = functools.partial(_pack_one, pos_dir=pos_dir,
+                                 gtype=cfg.DATA.GTYPE, max_nodes=M)
+        packed = dfmp(rows, pack, columns=["_id", "func_before"],
+                      workers=workers)
+        funcs = rows.func_before.tolist()
+        packed = [pg for pg in packed]
+        for i, pg in enumerate(packed):
+            if pg is None:      # per-item failure swallowed by dfmp
+                continue
             arrs["pos"][i] = pg.pos
             arrs["adj"][i] = pg.adj
             arrs["node_mask"][i] = pg.mask
             arrs["lineno"][i] = pg.lineno
             arrs["ntype"][i] = pg.ntype
 
-            if text_encoder is not None and tokenizer is not None:
-                # whole-function embedding (cunixcoder result.pkl equivalent)
-                fids = tokenizer.tokenize([row.func_before],
+        if text_encoder is not None and tokenizer is not None:
+            # whole-function embeddings (cunixcoder result.pkl equivalent),
+            # batched encoder dispatches
+            for lo in range(0, n, encode_batch):
+                chunk = funcs[lo:lo + encode_batch]
+                fids = tokenizer.tokenize(chunk,
                                           max_length=cfg.DATA.FUNC_TOKENS)
-                arrs["text_emb"][i] = np.asarray(text_encoder(fids))[0]
-                # per-line node embeddings (myEncode, data_list.py:292-299)
-                lines = row.func_before.split("\n")
-                node_lines = [normalize_line(lines[ln - 1])
-                              if 1 <= ln <= len(lines) else ""
-                              for ln in pg.lineno[: pg.num_nodes]]
-                nids = tokenizer.tokenize(node_lines,
+                arrs["text_emb"][lo:lo + len(chunk)] = np.asarray(
+                    text_encoder(fids))
+            # per-line node embeddings (myEncode, data_list.py:292-299):
+            # flatten all (row, node) lines, encode in chunks, scatter back
+            flat_lines, flat_idx = [], []
+            for i, pg in enumerate(packed):
+                if pg is None:
+                    continue
+                lines = funcs[i].split("\n")
+                for j, ln in enumerate(pg.lineno[: pg.num_nodes]):
+                    flat_lines.append(normalize_line(lines[ln - 1])
+                                      if 1 <= ln <= len(lines) else "")
+                    flat_idx.append((i, j))
+            for lo in range(0, len(flat_lines), encode_batch):
+                chunk = flat_lines[lo:lo + encode_batch]
+                nids = tokenizer.tokenize(chunk,
                                           max_length=cfg.DATA.NODE_TOKENS)
-                arrs["node_emb"][i, : pg.num_nodes] = np.asarray(
-                    text_encoder(nids))
+                emb = np.asarray(text_encoder(nids))
+                for k, (i, j) in enumerate(flat_idx[lo:lo + len(chunk)]):
+                    arrs["node_emb"][i, j] = emb[k]
 
-            if swin_encoder is not None:
-                img = resize_normalize(
-                    load_image(paths[_id]), cfg.DATA.IMG_SIZE)
-                arrs["img_emb"][i] = np.asarray(
-                    swin_encoder(img[None]))[0]
+        if swin_encoder is not None:
+            ids = rows._id.tolist()
+            for lo in range(0, n, encode_batch):
+                imgs = np.stack([
+                    resize_normalize(load_image(paths[int(_id)]),
+                                     cfg.DATA.IMG_SIZE)
+                    for _id in ids[lo:lo + encode_batch]])
+                arrs["img_emb"][lo:lo + len(imgs)] = np.asarray(
+                    swin_encoder(imgs))
         np.savez_compressed(npz_path, **arrs)
         if logger:
             logger.info(f"cached {n} items → {npz_path}")

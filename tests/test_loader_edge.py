@@ -82,3 +82,41 @@ def test_swin_train_step_on_dp_mp_mesh():
             "label": np.random.RandomState(1).randint(0, 2, B).astype(np.int32)})
         state, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_prefetcher_overlaps_and_preserves_order():
+    """Producer runs ahead of a slow consumer (the DataLoader-workers
+    equivalent): all items are produced before the consumer finishes."""
+    import time
+
+    from mvuld_tpu.data.loader import Prefetcher
+
+    def source():
+        for i in range(5):
+            yield i
+
+    stamped = []
+    pf = Prefetcher(source(), place_fn=lambda x: (x, time.time()), depth=2)
+    got = []
+    for x, produced_t in pf:
+        time.sleep(0.05)            # simulate a device step
+        got.append((x, produced_t, time.time()))
+    assert [g[0] for g in got] == list(range(5))
+    # item i+2 was already produced before item i finished consuming
+    for i in range(len(got) - 2):
+        assert got[i + 2][1] < got[i][2], (i, got)
+
+
+def test_prefetcher_propagates_errors():
+    import pytest as _pytest
+
+    from mvuld_tpu.data.loader import Prefetcher
+
+    def bad():
+        yield 1
+        raise ValueError("boom")
+
+    it = iter(Prefetcher(bad()))
+    assert next(it) == 1
+    with _pytest.raises(ValueError, match="boom"):
+        list(it)
