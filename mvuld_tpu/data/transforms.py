@@ -62,35 +62,64 @@ def color_jitter(img: Image.Image, rng: np.random.RandomState,
     return img
 
 
-_RAND_AUG_OPS = ("autocontrast", "equalize", "rotate", "posterize",
-                 "solarize", "sharpness", "shear_x", "shear_y",
+# The FULL rand-m9-mstd0.5-inc1 op set (timm _RAND_INCREASING_TRANSFORMS;
+# reference policy string at mvuld/config.py AUG.AUTO_AUGMENT, applied by
+# create_transform in build.py:127-170). 15 ops, 2 layers, each op applied
+# with prob 0.5; magnitude ~ N(9, mstd=0.5) clipped to [0, 10]; "increasing"
+# variants scale their effect UP with magnitude. Fill is white (graph
+# renders have white background; timm's gray mean-fill would paint
+# out-of-canvas regions darker than any real render).
+_RAND_AUG_OPS = ("auto_contrast", "equalize", "invert", "rotate",
+                 "posterize", "solarize", "solarize_add", "color",
+                 "contrast", "brightness", "sharpness", "shear_x", "shear_y",
                  "translate_x", "translate_y")
+_FILL = (255, 255, 255)
+
+
+def _solarize_add(img: Image.Image, add: int, thresh: int = 128) -> Image.Image:
+    x = np.asarray(img, np.int32)
+    x = np.where(x < thresh, np.clip(x + add, 0, 255), x)
+    return Image.fromarray(x.astype(np.uint8))
 
 
 def rand_augment(img: Image.Image, rng: np.random.RandomState,
                  num_ops: int = 2, magnitude: int = 9,
-                 mstd: float = 0.5) -> Image.Image:
-    """rand-m9-mstd0.5 subset (AUG.AUTO_AUGMENT default)."""
+                 mstd: float = 0.5, prob: float = 0.5) -> Image.Image:
+    """Full rand-m9-mstd0.5-inc1 policy (timm RandAugment semantics)."""
     for _ in range(num_ops):
+        if rng.rand() > prob:
+            continue
         op = _RAND_AUG_OPS[rng.randint(len(_RAND_AUG_OPS))]
-        m = float(np.clip(rng.normal(magnitude, mstd * 10 / 3), 0, 10)) / 10.0
-        if op == "autocontrast":
+        level = float(np.clip(rng.normal(magnitude, mstd), 0, 10))
+        m = level / 10.0
+        sign = 1.0 if rng.rand() < 0.5 else -1.0
+        if op == "auto_contrast":
             img = ImageOps.autocontrast(img)
         elif op == "equalize":
             img = ImageOps.equalize(img)
+        elif op == "invert":
+            img = ImageOps.invert(img)
         elif op == "rotate":
-            img = img.rotate(m * 30 * (1 if rng.rand() < 0.5 else -1),
-                             resample=Image.BICUBIC, fillcolor=(255, 255, 255))
+            img = img.rotate(m * 30 * sign, resample=Image.BICUBIC,
+                             fillcolor=_FILL)
         elif op == "posterize":
-            img = ImageOps.posterize(img, max(8 - int(m * 4), 1))
+            # PosterizeIncreasing: more magnitude → fewer bits kept
+            img = ImageOps.posterize(img, max(4 - int(m * 4), 1))
         elif op == "solarize":
+            # SolarizeIncreasing: more magnitude → lower threshold
             img = ImageOps.solarize(img, int(256 - m * 256))
-        elif op == "sharpness":
-            img = ImageEnhance.Sharpness(img).enhance(1.0 + m * 0.9)
-        elif op in ("shear_x", "shear_y", "translate_x", "translate_y"):
+        elif op == "solarize_add":
+            img = _solarize_add(img, int(m * 110))
+        elif op in ("color", "contrast", "brightness", "sharpness"):
+            # *Increasing enhance ops: factor = 1 ± 0.9·m
+            enh = {"color": ImageEnhance.Color,
+                   "contrast": ImageEnhance.Contrast,
+                   "brightness": ImageEnhance.Brightness,
+                   "sharpness": ImageEnhance.Sharpness}[op]
+            img = enh(img).enhance(max(1.0 + sign * m * 0.9, 0.0))
+        else:                       # shear / relative translate
             W, H = img.size
-            v = m * (0.3 if "shear" in op else 0.45)
-            v *= 1 if rng.rand() < 0.5 else -1
+            v = sign * m * (0.3 if "shear" in op else 0.45)
             if op == "shear_x":
                 mat = (1, v, 0, 0, 1, 0)
             elif op == "shear_y":
@@ -100,7 +129,7 @@ def rand_augment(img: Image.Image, rng: np.random.RandomState,
             else:
                 mat = (1, 0, 0, 0, 1, v * H)
             img = img.transform((W, H), Image.AFFINE, mat,
-                                resample=Image.BICUBIC, fillcolor=(255, 255, 255))
+                                resample=Image.BICUBIC, fillcolor=_FILL)
     return img
 
 

@@ -68,6 +68,52 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     rep = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
 
+# Tensor-parallel ("mp") sharding rules for the encoder weights.
+# Megatron-style pairing: column-parallel layers shard their OUTPUT features
+# (fc1 / qkv / cpb_fc1 kernels + biases), the following row-parallel layer
+# shards its INPUT features (fc2 / proj kernels) — XLA's GSPMD partitioner
+# then keeps the intermediate activations mp-sharded and inserts the single
+# reduce-scatter/all-reduce at the row-parallel output. Sharding specs are
+# layout hints under jit: any spec is CORRECT (XLA reshards as needed);
+# these are the profitable ones.
+_TP_COL = ("fc1", "intermediate", "cpb_fc1")     # shard last axis
+_TP_ROW = ("fc2", "mlp_output", "proj")          # shard axis -2 of kernel
+
+
+def tp_spec(path, leaf) -> P:
+    """PartitionSpec for one encoder parameter under tensor parallelism.
+    Works for both per-block and nn.scan-stacked (leading depth axis)
+    layouts because specs are anchored to the TRAILING axes."""
+    names = [getattr(p, "key", "") for p in path]
+    nd = getattr(leaf, "ndim", 0)
+    if nd == 0:
+        return P()
+    last = names[-1] if names else ""
+    def col():
+        return P(*([None] * (nd - 1) + ["mp"]))
+    if "qkv_kernel" in names:
+        return col()
+    for i, n in enumerate(names[:-1]):
+        if n in _TP_COL and last in ("kernel", "bias"):
+            return col()
+        if n in _TP_ROW and last == "kernel" and nd >= 2:
+            # "proj" is also the patch-embed conv's name — row-parallel only
+            # applies to the attention output projection (scope "attn")
+            if n == "proj" and "attn" not in names[:i]:
+                continue
+            return P(*([None] * (nd - 2) + ["mp", None]))
+    return P()
+
+
+def shard_params_tp(mesh: Mesh, params: Any) -> Any:
+    """Place encoder params on the mesh with mp tensor-parallel sharding
+    (replicated over dp). Divisibility: sharded feature axes must divide the
+    mp axis size — true for every SwinV2 width with mp ∈ {1, 2, 4, 8}."""
+    def place(path, leaf):
+        return jax.device_put(leaf, NamedSharding(mesh, tp_spec(path, leaf)))
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
 def enable_compile_cache(path: str = "/tmp/mvuld_jax_cache") -> None:
     """Persistent XLA compilation cache — repeated runs of the same program
     (bench, dryrun, trainers) skip the multi-minute TPU compile."""

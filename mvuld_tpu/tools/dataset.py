@@ -86,9 +86,17 @@ def rebalance_train(df: pd.DataFrame, seed: int = 42, ratio: float = 1.0,
 
 def prepare_corpus(df: pd.DataFrame, seed: int = 42, max_lines: int = 100
                    ) -> pd.DataFrame:
-    """Full cleaning funnel: clean → dedup → line filter → split → rebalance."""
+    """Full cleaning funnel: clean → drop-unchanged-vul → dedup → line filter
+    → split → rebalance (reference: cleaned_dataset, process_dataset.py:32-56)."""
     df = df.copy()
     df["func_before"] = df["func_before"].map(clean_function)
+    if "func_after" in df.columns and "vul" in df.columns:
+        df["func_after"] = df["func_after"].map(
+            lambda c: clean_function(c) if isinstance(c, str) else c)
+        # vul rows whose fix changed nothing are mislabeled — drop them
+        # (reference: process_dataset.py:42)
+        df = df[(df.vul == 0) | (df.func_before != df.func_after)]
+        df = df.reset_index(drop=True)
     df = dedup(df)
     df = filter_by_lines(df, max_lines)
     df = train_val_test_split(df, seed=seed)

@@ -75,3 +75,38 @@ def linear_torch_to_flax(state_dict: Mapping[str, object], key: str) -> Dict:
     if key + ".bias" in state_dict:
         out["bias"] = _np(state_dict[key + ".bias"])
     return out
+
+
+def load_unixcoder_checkpoint(state_dict: Mapping[str, object]):
+    """Convert a released UniXcoder checkpoint of EITHER layout:
+
+      * bare ``RobertaModel`` (microsoft/unixcoder-base-nine
+        ``pytorch_model.bin``): keys ``embeddings.*``, ``encoder.layer.{i}.*``;
+      * fine-tuned cunixcoder ``DefectModel`` (reference:
+        baselines/models/cunixcoder/model.py:15-21 — ``self.encoder`` holds
+        the RobertaModel, plus ``classifier`` Linear(hidden, 2)): keys
+        ``encoder.embeddings.*``, ``classifier.weight``;
+      * either of the above under an ``nn.DataParallel`` ``module.`` prefix
+        (the reference trains under DataParallel, cunixcoder main.py:262).
+
+    Returns ``(encoder_params, classifier_params_or_None, num_layers)``.
+    """
+    sd = {(k[len("module."):] if k.startswith("module.") else k): v
+          for k, v in state_dict.items()}
+    if any(k.startswith("encoder.embeddings.") for k in sd):
+        prefix = "encoder."
+    elif any(k.startswith("roberta.embeddings.") for k in sd):
+        prefix = "roberta."
+    else:
+        prefix = ""
+    layer_pre = f"{prefix}encoder.layer."
+    layers = {int(k[len(layer_pre):].split(".")[0])
+              for k in sd if k.startswith(layer_pre)}
+    if not layers:
+        raise ValueError("no encoder.layer.{i} keys found — not a RobertaModel"
+                         " checkpoint")
+    num_layers = max(layers) + 1
+    encoder = roberta_torch_to_flax(sd, num_layers, prefix=prefix)
+    classifier = (linear_torch_to_flax(sd, "classifier")
+                  if "classifier.weight" in sd else None)
+    return encoder, classifier, num_layers

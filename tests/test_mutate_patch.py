@@ -104,3 +104,72 @@ def test_plot_embedding(tmp_path):
     out = plot_embedding(feats, labels, str(tmp_path / "tsne.png"))
     import os
     assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+
+def test_fourteen_transformations_registered():
+    """Parity with the reference TXL suite's 14 actions
+    (baselines/scripts/transform.py:26 — range(14))."""
+    assert len(MUTATIONS) == 14
+
+
+def test_for_to_while():
+    from mvuld_tpu.tools.mutate import for_to_while
+    out = for_to_while(CODE, random.Random(0))
+    assert "while (i < n)" in out
+    assert "i = 0;" in out
+    assert "i++;" in out            # step moved into the body
+    assert "for (" not in out
+    assert extract_line_cpg(out) is not None
+
+
+def test_while_to_for():
+    from mvuld_tpu.tools.mutate import while_to_for
+    out = while_to_for("void f(){ while (a < b) { a++; } }", random.Random(0))
+    assert "for (; a < b ;)" in out
+
+
+def test_ternary_to_if():
+    from mvuld_tpu.tools.mutate import ternary_to_if
+    out = ternary_to_if("void f(){\n    x = a > b ? a : b;\n}", random.Random(0))
+    assert "if (a > b) { x = a; } else { x = b; }" in out
+
+
+def test_split_declaration():
+    from mvuld_tpu.tools.mutate import split_declaration
+    out = split_declaration("void f(){\n    int x = 5 + y;\n}", random.Random(0))
+    assert "int x; x = 5 + y;" in out
+
+
+def test_explicit_compare():
+    from mvuld_tpu.tools.mutate import explicit_compare
+    out = explicit_compare("void f(){ if (p) { g(); } if (a < b) { h(); } }",
+                           random.Random(0))
+    assert "if ((p) != 0)" in out
+    assert "if (a < b)" in out       # already a comparison: untouched
+
+
+def test_flip_relational():
+    from mvuld_tpu.tools.mutate import flip_relational
+    out = flip_relational("if (i < n) { }", random.Random(0))
+    assert "n > i" in out
+    out2 = flip_relational("if (x <= 10) { }", random.Random(0))
+    assert "10 >= x" in out2
+
+
+def test_dead_var_insert_and_paren():
+    from mvuld_tpu.tools.mutate import dead_var_insert, paren_condition
+    out = dead_var_insert("void f(){ return; }", random.Random(3))
+    assert "__rm_unused_" in out
+    out2 = paren_condition("void f(){ while (a && b) { } }", random.Random(0))
+    assert "while ((a && b))" in out2
+
+
+def test_swap_if_else():
+    from mvuld_tpu.tools.mutate import swap_if_else
+    code = "void f(){ if (a < b) { x = 1; } else { x = 2; } }"
+    out = swap_if_else(code, random.Random(0))
+    assert "if (!(a < b))" in out
+    assert out.index("x = 2") < out.index("x = 1")   # branches swapped
+    # if without else: untouched
+    keep = "void f(){ if (c) { y = 3; } }"
+    assert swap_if_else(keep, random.Random(0)) == keep

@@ -213,3 +213,69 @@ def test_fit_resumes_from_checkpoint(tmp_path):
                train_step=step, eval_step=eval_step, train_ds=ds, val_ds=ds,
                output_dir=out)
     assert [h["epoch"] for h in res3["history"]] == [2]
+
+
+def test_tensor_parallel_sharding_matches_replicated():
+    """Megatron-style mp sharding of the SwinV2 encoder weights (tp_spec)
+    must be numerically identical to replicated training — sharding is
+    layout, not math. Also asserts the weights really land mp-sharded."""
+    import flax  # noqa: F401
+
+    from mvuld_tpu.core.schedule import build_schedule
+    from mvuld_tpu.models.swin_v2 import SwinTransformerV2, SwinV2Config
+    from mvuld_tpu.parallel.mesh import (make_mesh, replicate, shard_batch,
+                                         shard_params_tp, tp_spec)
+
+    cfg = default_config()
+    cfg.DATA.IMG_SIZE = 16
+    cfg.MODEL.SWINV2.EMBED_DIM = 16
+    cfg.MODEL.SWINV2.DEPTHS = [1, 1]
+    cfg.MODEL.SWINV2.NUM_HEADS = [2, 2]
+    cfg.MODEL.SWINV2.WINDOW_SIZE = 4
+    cfg.MODEL.SWINV2.PRETRAINED_WINDOW_SIZES = [0, 0]
+    cfg.MODEL.DROP_PATH_RATE = 0.0
+    cfg.PARALLEL.DTYPE = "float32"
+    sc = SwinV2Config.from_cfg(cfg)
+    model = SwinTransformerV2(sc)
+    B = 8
+    rng = jax.random.PRNGKey(0)
+    x = np.random.RandomState(0).randn(B, 16, 16, 3).astype(np.float32)
+    y = np.random.RandomState(1).randint(0, 2, B).astype(np.int32)
+    variables = model.init(rng, jnp.zeros((1, 16, 16, 3)))
+    tx = build_optimizer(cfg, build_schedule(cfg, 4, B))
+
+    def apply_fn(vs, batch, rngs, train, mutable=None):
+        return model.apply(vs, batch["image"], deterministic=not train,
+                           rngs=rngs)
+
+    step = make_train_step(apply_fn, tx, label_smoothing=0.0, donate=False)
+
+    mesh = make_mesh(dp=4, mp=2)
+    with mesh:
+        # replicated baseline
+        s_rep = replicate(mesh, TrainState.create(variables["params"], tx))
+        b = shard_batch(mesh, {"image": x, "label": y})
+        s_rep, m_rep = step(s_rep, b, rng)
+        # tensor-parallel
+        tp_params = shard_params_tp(mesh, variables["params"])
+        s_tp = TrainState.create(tp_params, tx)
+        s_tp, m_tp = step(s_tp, b, rng)
+    np.testing.assert_allclose(float(m_rep["loss"]), float(m_tp["loss"]),
+                               atol=1e-6)
+    for a, c in zip(jax.tree_util.tree_leaves(s_rep.params),
+                    jax.tree_util.tree_leaves(s_tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
+    # at least one fc1 kernel and one proj kernel really carry "mp"
+    specs = []
+    jax.tree_util.tree_map_with_path(
+        lambda p, l: specs.append((tuple(str(getattr(x, "key", "")) for x in p),
+                                   l.sharding.spec)), s_tp.params)
+    fc1 = [s for names, s in specs if "fc1" in names and names[-1] == "kernel"]
+    proj = [s for names, s in specs
+            if "proj" in names and "attn" in names and names[-1] == "kernel"]
+    patch = [s for names, s in specs
+             if "proj" in names and "patch_embed" in names
+             and names[-1] == "kernel"]
+    assert fc1 and all("mp" in tuple(s) for s in fc1), fc1
+    assert proj and all("mp" in tuple(s) for s in proj), proj
+    assert patch and all("mp" not in tuple(s) for s in patch), patch
