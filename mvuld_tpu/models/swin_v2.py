@@ -257,21 +257,26 @@ class WindowAttentionV2(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[np.ndarray] = None,
                  deterministic: bool = True) -> jnp.ndarray:
-        Bn, N, C = x.shape
+        """x: [B, Hp, Wp, C] feature map (already shifted when applicable).
+        Returns [B, Hp, Wp, C]. Window partitioning happens INSIDE: the
+        Pallas path indexes windows straight out of the qkv map (zero layout
+        copies); the XLA path partitions explicitly."""
+        B, Hp, Wp, C = x.shape
+        ws = self.window_size
         H = self.num_heads
         hd = C // H
+        N = ws * ws
 
-        # qkv with q/v-only bias (no k bias — reference :128-134, 147-150)
+        # qkv with q/v-only bias (no k bias — reference :128-134, 147-150);
+        # computed on the WHOLE map: one big MXU GEMM instead of per-window
         qkv_w = self.param("qkv_kernel", nn.initializers.lecun_normal(), (C, 3 * C))
         x_ = x.astype(self.dtype)
-        qkv = x_ @ qkv_w.astype(self.dtype)
+        qkv = x_ @ qkv_w.astype(self.dtype)                 # [B, Hp, Wp, 3C]
         if self.qkv_bias:
             q_bias = self.param("q_bias", nn.initializers.zeros, (C,))
             v_bias = self.param("v_bias", nn.initializers.zeros, (C,))
             bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
             qkv = qkv + bias.astype(self.dtype)
-        qkv = qkv.reshape(Bn, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]          # [Bn, H, N, hd]
 
         # cosine attention with clamped learnable temperature (:151-158)
         logit_scale = self.param(
@@ -294,11 +299,19 @@ class WindowAttentionV2(nn.Module):
         bias = 16.0 * jax.nn.sigmoid(bias)
 
         if self.use_pallas and self.attn_drop == 0.0:
-            # fused VMEM-resident attention (mvuld_tpu/ops/window_attention.py)
-            from mvuld_tpu.ops.window_attention import window_attention
-            out = window_attention(q, k, v, bias, scale.reshape(H), mask=mask)
-            out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
+            # fused VMEM-resident attention reading (window, head) tiles
+            # straight from the qkv map — no partition/reverse/transpose
+            # copies (mvuld_tpu/ops/window_attention.py, map layout)
+            from mvuld_tpu.ops.window_attention import window_attention_map
+            qkv_map = qkv.reshape(B, Hp, Wp, 3, H, hd)
+            out = window_attention_map(qkv_map, bias, scale.reshape(H),
+                                       mask=mask)        # [B, Hp, Wp, H, hd]
+            out = out.reshape(B, Hp, Wp, C)
         else:
+            qkvw = window_partition(qkv, ws)                  # [Bn, N, 3C]
+            Bn = qkvw.shape[0]
+            qkvw = qkvw.reshape(Bn, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkvw[0], qkvw[1], qkvw[2]               # [Bn, H, N, hd]
             q = q / jnp.maximum(jnp.linalg.norm(q.astype(jnp.float32), axis=-1,
                                                 keepdims=True), 1e-12).astype(self.dtype)
             k = k / jnp.maximum(jnp.linalg.norm(k.astype(jnp.float32), axis=-1,
@@ -317,6 +330,7 @@ class WindowAttentionV2(nn.Module):
             attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
             out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(self.dtype), v)
             out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
+            out = window_reverse(out, ws, Hp, Wp)             # [B, Hp, Wp, C]
         out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
@@ -351,16 +365,16 @@ class SwinBlockV2(nn.Module):
         B, L, C = x.shape
         shortcut = x
         x = x.reshape(B, Hr, Wr, C)
+        # the roll happens BEFORE the qkv projection (a per-token op, so
+        # roll∘qkv ≡ qkv∘roll) — windows then index directly into the map
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-        xw = window_partition(x, window)                    # [B·nW, w², C]
         mask = shifted_window_mask(Hr, Wr, window, shift)
-        attn = WindowAttentionV2(
+        x = WindowAttentionV2(
             self.dim, window, self.num_heads, self.qkv_bias,
             self.attn_drop, self.drop, self.pretrained_window_size,
             dtype=self.dtype, use_pallas=self.use_pallas,
-            name="attn")(xw, mask, deterministic)
-        x = window_reverse(attn, window, Hr, Wr)
+            name="attn")(x, mask, deterministic)            # [B, Hr, Wr, C]
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = x.reshape(B, L, C)
