@@ -256,11 +256,12 @@ class WindowAttentionV2(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[np.ndarray] = None,
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True, shift: int = 0) -> jnp.ndarray:
         """x: [B, Hp, Wp, C] feature map (already shifted when applicable).
         Returns [B, Hp, Wp, C]. Window partitioning happens INSIDE: the
         Pallas path indexes windows straight out of the qkv map (zero layout
-        copies); the XLA path partitions explicitly."""
+        copies; the shift mask is synthesized in-kernel from ``shift``);
+        the XLA path partitions explicitly and adds ``mask``."""
         B, Hp, Wp, C = x.shape
         ws = self.window_size
         H = self.num_heads
@@ -268,15 +269,14 @@ class WindowAttentionV2(nn.Module):
         N = ws * ws
 
         # qkv with q/v-only bias (no k bias — reference :128-134, 147-150);
-        # computed on the WHOLE map: one big MXU GEMM instead of per-window
+        # one big MXU GEMM over all tokens instead of per-window
         qkv_w = self.param("qkv_kernel", nn.initializers.lecun_normal(), (C, 3 * C))
         x_ = x.astype(self.dtype)
-        qkv = x_ @ qkv_w.astype(self.dtype)                 # [B, Hp, Wp, 3C]
+        qkv_b = None
         if self.qkv_bias:
             q_bias = self.param("q_bias", nn.initializers.zeros, (C,))
             v_bias = self.param("v_bias", nn.initializers.zeros, (C,))
-            bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
-            qkv = qkv + bias.astype(self.dtype)
+            qkv_b = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
 
         # cosine attention with clamped learnable temperature (:151-158)
         logit_scale = self.param(
@@ -299,15 +299,27 @@ class WindowAttentionV2(nn.Module):
         bias = 16.0 * jax.nn.sigmoid(bias)
 
         if self.use_pallas and self.attn_drop == 0.0:
-            # fused VMEM-resident attention reading (window, head) tiles
-            # straight from the qkv map — no partition/reverse/transpose
-            # copies (mvuld_tpu/ops/window_attention.py, map layout)
-            from mvuld_tpu.ops.window_attention import window_attention_map
-            qkv_map = qkv.reshape(B, Hp, Wp, 3, H, hd)
-            out = window_attention_map(qkv_map, bias, scale.reshape(H),
-                                       mask=mask)        # [B, Hp, Wp, H, hd]
-            out = out.reshape(B, Hp, Wp, C)
+            # flat-layout fused attention (ops/window_attention.py, the
+            # production kernel): partition the C-channel map ONCE, run the
+            # qkv GEMM in window layout so its [Bn, N, 3C] output feeds the
+            # kernel directly (static per-4-head lane blocks, bias fetched
+            # once per head group, shift mask synthesized in-kernel);
+            # model-dtype in / fp32 out — both casts fuse into the GEMMs.
+            # mxu_bf16=False: measured SLOWER on v5e — the kernel is
+            # VPU-bound (softmax chain), and the bf16 casts add VPU passes
+            from mvuld_tpu.ops.window_attention import window_attention_flat
+            xw = window_partition(x_, ws)                 # [Bn, N, C]
+            qkv = xw @ qkv_w.astype(self.dtype)           # [Bn, N, 3C]
+            if qkv_b is not None:
+                qkv = qkv + qkv_b.astype(self.dtype)
+            out = window_attention_flat(qkv, bias, scale.reshape(H),
+                                        shift=shift, nWh=Hp // ws,
+                                        nWw=Wp // ws)     # [Bn, N, C] fp32
+            out = window_reverse(out.astype(self.dtype), ws, Hp, Wp)
         else:
+            qkv = x_ @ qkv_w.astype(self.dtype)           # [B, Hp, Wp, 3C]
+            if qkv_b is not None:
+                qkv = qkv + qkv_b.astype(self.dtype)
             qkvw = window_partition(qkv, ws)                  # [Bn, N, 3C]
             Bn = qkvw.shape[0]
             qkvw = qkvw.reshape(Bn, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
@@ -374,7 +386,7 @@ class SwinBlockV2(nn.Module):
             self.dim, window, self.num_heads, self.qkv_bias,
             self.attn_drop, self.drop, self.pretrained_window_size,
             dtype=self.dtype, use_pallas=self.use_pallas,
-            name="attn")(x, mask, deterministic)            # [B, Hr, Wr, C]
+            name="attn")(x, mask, deterministic, shift=shift)  # [B, Hr, Wr, C]
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = x.reshape(B, L, C)

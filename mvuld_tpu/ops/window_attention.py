@@ -276,197 +276,368 @@ def window_attention(q, k, v, bias, logit_scale,
 # feature-map copies per block at HBM bandwidth (the measured bottleneck on
 # this chip). These kernels instead take qkv AS PRODUCED by the projection
 # GEMM — [B, Hp, Wp, 3, H, hd], a free reshape of [B, L, 3C] — and index
-# each (window, head) tile directly out of the map via BlockSpecs, writing
-# the output back in map layout [B, Hp, Wp, H, hd] (a free reshape away from
-# the proj GEMM's input). Zero layout copies in either direction.
+# each (window, head-group) tile directly out of the map via BlockSpecs,
+# writing the output back in map layout [B, Hp, Wp, H, hd] (a free reshape
+# away from the proj GEMM's input). Zero layout copies in either direction.
+#
+# Mosaic legality + HBM-traffic design:
+#   * heads are processed in groups of G = 8 (or all H when H % 8 != 0), so
+#     the qkv block's trailing dims (G, hd) satisfy the (8, 128)-divisible/
+#     full rule — a per-head block (1, hd) does not lower;
+#   * the grid is (H/G, B, nWh, nWw) with the head-group axis SLOWEST: the
+#     [G, N, N] bias block index depends only on hg, so it is fetched once
+#     per group instead of once per (batch, window) step — with the head
+#     axis fastest the bias re-fetch is ~65× the qkv traffic at 448²;
+#   * the shift mask is COMPUTED inside the kernel from the window's grid
+#     coordinates (pure VPU iota work) — the [nW, N, N] HBM operand and its
+#     per-step re-fetch disappear entirely.
 
 
-def _map_fwd_kernel_factory(has_mask: bool):
-    def kernel(*refs):
-        if has_mask:
-            qkv_ref, bias_ref, scale_ref, mask_ref, o_ref = refs
-            mask = mask_ref[0]
-        else:
-            qkv_ref, bias_ref, scale_ref, o_ref = refs
-            mask = None
-        ws, hd = qkv_ref.shape[1], qkv_ref.shape[-1]
-        N = ws * ws
-        q = qkv_ref[0, :, :, 0, 0, :].reshape(N, hd).astype(jnp.float32)
-        k = qkv_ref[0, :, :, 1, 0, :].reshape(N, hd).astype(jnp.float32)
-        v = qkv_ref[0, :, :, 2, 0, :].reshape(N, hd)
-        q = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
-        k = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-        s = s * scale_ref[0, 0, 0] + bias_ref[0].astype(jnp.float32)
-        if mask is not None:
-            s = s + mask.astype(jnp.float32)
-        p = jax.nn.softmax(s, axis=-1)
-        out = jnp.dot(p.astype(v.dtype), v,
-                      preferred_element_type=jnp.float32)
-        o_ref[0, :, :, 0, :] = out.reshape(ws, ws, hd).astype(o_ref.dtype)
+def _head_group(H: int) -> int:
+    """Largest legal head block: Mosaic wants the second-to-last block dim
+    divisible by 8 or equal to the full array dim."""
+    return 8 if H % 8 == 0 else H
+
+
+def _q_chunks(N: int, ws: int) -> int:
+    """Query-row chunk count for the backward kernel's VMEM budget: chunks
+    must cover whole map rows (ws | Nq) and stay sublane-aligned (8 | Nq)."""
+    if N < 512:
+        return 1
+    for qc in range(2, N + 1):
+        if N % qc:
+            continue
+        nq = N // qc
+        if nq % ws == 0 and nq % 8 == 0 and nq <= 128:
+            return qc
+    return 1
+
+
+def _window_region_mask(ws: int, shift: int, last_i, last_j,
+                        rows: Optional[int] = None, row0=0):
+    """Additive shift mask [rows or N, N] for THIS grid cell's window, built
+    in VMEM (rows/row0 select a query-row chunk).
+
+    Equals shifted_window_mask (models/swin_v2.py, reference
+    swin_transformer_v2.py:233-252) for window (i, j): only last-row/
+    last-col windows of the rolled map mix shift regions; two tokens attend
+    iff they share (row-class, col-class). ``last_i``/``last_j`` are traced
+    scalars computed from program_id at kernel TOP LEVEL — the interpret-
+    mode lowering cannot rewrite program_id inside fori_loop sub-jaxprs.
+    """
+    N = ws * ws
+
+    def region(iota):
+        r = iota // ws                       # row within the window
+        c = iota % ws                        # col within the window
+        # arithmetic instead of jnp.where: scalar-literal where inside a
+        # nested fori_loop breaks pallas interpret-mode lowering
+        row = 3 * jnp.logical_and(last_i, r >= ws - shift).astype(jnp.int32)
+        col = jnp.logical_and(last_j, c >= ws - shift).astype(jnp.int32)
+        return row + col
+
+    nq = N if rows is None else rows
+    reg_n = region(
+        jax.lax.broadcasted_iota(jnp.int32, (nq, 1), 0) + row0)
+    reg_m = region(jax.lax.broadcasted_iota(jnp.int32, (1, N), 1))
+    return (reg_n != reg_m).astype(jnp.float32) * jnp.float32(-100.0)
+
+
+def _dot(a, b, ca: int, cb: int):
+    """2-D contraction without materializing transposes."""
+    return jax.lax.dot_general(a, b, (((ca,), (cb,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _map_fwd_kernel_factory(G: int, ws: int, shift: int, nWh: int, nWw: int,
+                            mxu_bf16: bool = False):
+    N = ws * ws
+    mxu_t = jnp.bfloat16 if mxu_bf16 else jnp.float32
+
+    def kernel(qkv_ref, bias_ref, scale_ref, o_ref, qf_ref):
+        mask = (_window_region_mask(ws, shift, pl.program_id(2) == nWh - 1,
+                                    pl.program_id(3) == nWw - 1)
+                if shift > 0 else None)
+        hd = qkv_ref.shape[-1]
+
+        # stage the (possibly bf16) qkv block to fp32 scratch ONCE per cell:
+        # qkv arrives in the model dtype (a pallas operand cannot fuse with
+        # its producer, so an XLA-side cast would materialize a full fp32
+        # map in HBM — measured at ~30% of step time), and Mosaic only
+        # supports dynamic second-minor (head) indexing on fp32 refs
+        qf_ref[...] = qkv_ref[0].astype(jnp.float32)
+
+        # fori_loop (not Python unroll): Mosaic does not share stack between
+        # unrolled iterations, so an unrolled G-head loop keeps G × several
+        # [N, N] fp32 temporaries live and blows the 128 MB VMEM at ws=28.
+        def head(gi, carry):
+            q = qf_ref[:, :, 0, gi, :].reshape(N, hd)
+            k = qf_ref[:, :, 1, gi, :].reshape(N, hd)
+            v = qf_ref[:, :, 2, gi, :].reshape(N, hd)
+            q = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
+            k = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
+            # mxu_t: optionally bf16 matmul operands (fp32 accumulate) —
+            # measured slower on v5e (VPU-bound; casts add passes), kept
+            # for chips where the MXU is the bottleneck
+            s = _dot(q.astype(mxu_t), k.astype(mxu_t), 1, 1) \
+                * scale_ref[gi, 0] + bias_ref[gi].astype(jnp.float32)
+            if mask is not None:
+                s = s + mask
+            p = jax.nn.softmax(s, axis=-1)
+            out = _dot(p.astype(mxu_t), v.astype(mxu_t), 1, 0)
+            o_ref[0, :, :, gi, :] = out.reshape(ws, ws, hd).astype(o_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, G, head, 0)
 
     return kernel
 
 
-def pallas_window_attention_map(qkv, bias, logit_scale,
-                                mask: Optional[np.ndarray] = None,
-                                interpret: bool = False):
+def pallas_window_attention_map(qkv, bias, logit_scale, shift: int = 0,
+                                interpret: bool = False,
+                                mxu_bf16: bool = False):
     """Map-layout fused forward.
 
-    qkv: [B, Hp, Wp, 3, H, hd]; bias [H, N, N]; logit_scale [H];
-    mask [nW, N, N] or None (window id = wh·nWw + ww, row-major — the
-    ordering shifted_window_mask produces). Returns [B, Hp, Wp, H, hd].
+    qkv: [B, Hp, Wp, 3, H, hd]; bias [H, N, N]; logit_scale [H]; shift is
+    the static shifted-window offset (0 = no mask; the mask is synthesized
+    in-kernel from the window's grid coordinates). Returns [B, Hp, Wp, H, hd].
     """
     B, Hp, Wp, three, H, hd = qkv.shape
     assert three == 3
     ws = int(np.sqrt(bias.shape[-1]))
     N = ws * ws
     nWh, nWw = Hp // ws, Wp // ws
-    qkv_spec = pl.BlockSpec((1, ws, ws, 3, 1, hd),
-                            lambda b, i, j, h: (b, i, j, 0, h, 0),
+    assert nWh * ws == Hp and nWw * ws == Wp, (Hp, Wp, ws)
+    G = _head_group(H)
+    qkv_spec = pl.BlockSpec((1, ws, ws, 3, G, hd),
+                            lambda hg, b, i, j: (b, i, j, 0, hg, 0),
                             memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((1, N, N), lambda b, i, j, h: (h, 0, 0),
+    bias_spec = pl.BlockSpec((G, N, N), lambda hg, b, i, j: (hg, 0, 0),
                              memory_space=pltpu.VMEM)
-    scale_spec = pl.BlockSpec((1, 1, 1), lambda b, i, j, h: (h, 0, 0),
-                              memory_space=pltpu.VMEM)
-    scale = jnp.asarray(logit_scale, jnp.float32).reshape(H, 1, 1)
-    in_specs = [qkv_spec, bias_spec, scale_spec]
-    args = [qkv, bias, scale]
-    if mask is not None:
-        in_specs.append(pl.BlockSpec(
-            (1, N, N), lambda b, i, j, h: (i * nWw + j, 0, 0),
-            memory_space=pltpu.VMEM))
-        args.append(jnp.asarray(mask))
+    scale_spec = pl.BlockSpec((G, 1), lambda hg, b, i, j: (hg, 0),
+                              memory_space=pltpu.SMEM)
+    scale = jnp.asarray(logit_scale, jnp.float32).reshape(H, 1)
     return pl.pallas_call(
-        _map_fwd_kernel_factory(mask is not None),
-        grid=(B, nWh, nWw, H),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, ws, ws, 1, hd),
-                               lambda b, i, j, h: (b, i, j, h, 0),
+        _map_fwd_kernel_factory(G, ws, shift, nWh, nWw, mxu_bf16),
+        grid=(H // G, B, nWh, nWw),
+        in_specs=[qkv_spec, bias_spec, scale_spec],
+        out_specs=pl.BlockSpec((1, ws, ws, G, hd),
+                               lambda hg, b, i, j: (b, i, j, hg, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, H, hd), qkv.dtype),
+        # fp32 output regardless of input dtype: a cast AFTER the call fuses
+        # into consumers (GEMMs), and fp32 refs allow the dynamic per-head
+        # writes; bf16-in/fp32-out keeps all HBM formatting passes fused
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, H, hd), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((ws, ws, 3, G, hd), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * nWh * nWw * H * N * N * hd,
-            bytes_accessed=B * Hp * Wp * 4 * H * hd * 2 + H * N * N * 4,
+            bytes_accessed=B * Hp * Wp * 4 * H * hd * qkv.dtype.itemsize
+            + H * N * N * 4,
             transcendentals=B * nWh * nWw * H * N * N,
         ),
-    )(*args)
+        # the double-buffered [G, N, N] fp32 bias block alone is ~2×20 MB at
+        # ws=28 — far over the 16 MB default scoped-vmem limit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(qkv, bias, scale)
 
 
-def _map_bwd_kernel_factory(has_mask: bool):
-    def kernel(*refs):
-        if has_mask:
-            (qkv_ref, bias_ref, scale_ref, mask_ref, g_ref,
-             dqkv_ref, dbias_ref, dscale_ref) = refs
-            mask = mask_ref[0].astype(jnp.float32)
-        else:
-            (qkv_ref, bias_ref, scale_ref, g_ref,
-             dqkv_ref, dbias_ref, dscale_ref) = refs
-            mask = None
-        h = pl.program_id(0)
+def _map_bwd_kernel_factory(G: int, ws: int, shift: int, nWh: int, nWw: int,
+                            mxu_bf16: bool = False):
+    N = ws * ws
+    mxu_t = jnp.bfloat16 if mxu_bf16 else jnp.float32
+
+    def kernel(qkv_ref, bias_hbm, scale_ref, g_ref,
+               dqkv_ref, dbias_hbm, dscale_ref,
+               bias_ref, dbias_ref, qf_ref, sem_in, sem_out):
+        # bias/dbias live in HBM (memory_space=ANY) and are staged through
+        # SINGLE-buffered [G, Ns, Nl] scratch with one manual DMA per head
+        # group — Pallas's automatic pipelining double-buffers any block
+        # whose index varies, and 2×2×19.7 MB of bias blocks plus the rest
+        # exceeds the 128 MB VMEM at ws=28.
+        hg = pl.program_id(0)
         b = pl.program_id(1)
         i = pl.program_id(2)
         j = pl.program_id(3)
-        ws, hd = qkv_ref.shape[1], qkv_ref.shape[-1]
-        N = ws * ws
+        hd = qkv_ref.shape[-1]
+        last_i = i == nWh - 1          # read program_id at TOP level only:
+        last_j = j == nWw - 1          # interpret can't rewrite it in loops
+        first = jnp.logical_and(b == 0, jnp.logical_and(i == 0, j == 0))
+        last = jnp.logical_and(
+            b == pl.num_programs(1) - 1,
+            jnp.logical_and(i == pl.num_programs(2) - 1,
+                            j == pl.num_programs(3) - 1))
 
-        q = qkv_ref[0, :, :, 0, 0, :].reshape(N, hd).astype(jnp.float32)
-        k = qkv_ref[0, :, :, 1, 0, :].reshape(N, hd).astype(jnp.float32)
-        v = qkv_ref[0, :, :, 2, 0, :].reshape(N, hd).astype(jnp.float32)
-        g = g_ref[0, :, :, 0, :].reshape(N, hd).astype(jnp.float32)
-        scale = scale_ref[0, 0, 0]
+        # stage THIS head group's [G, Ns, Nl] bias at the group's first
+        # cell. bias/dbias arrive reshaped [HG, G, Ns, Nl] with sublane/lane
+        # dims pre-padded to multiples of (8, 128) — Mosaic cannot DMA any
+        # slice of an HBM ref whose logical trailing dims differ from the
+        # padded tiling (tpu.memref_slice 784→896 / 196→200 errors). Zero
+        # the dbias/dscale accumulators with it.
+        Ns, Nl = bias_ref.shape[-2], bias_ref.shape[-1]
 
-        qn = jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
-        kn = jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
-        qh = q * qn
-        kh = k * kn
-        s_cos = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
-        s = s_cos * scale + bias_ref[0].astype(jnp.float32)
-        if mask is not None:
-            s = s + mask
-        p = jax.nn.softmax(s, axis=-1)
-
-        dv = jnp.dot(p.T, g, preferred_element_type=jnp.float32)
-        dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))   # [N, N]
-
-        # accumulate dbias / dscale across the (b, i, j) grid axes
-        @pl.when(jnp.logical_and(b == 0, jnp.logical_and(i == 0, j == 0)))
+        @pl.when(first)
         def _():
-            dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
-            dscale_ref[h, 0] = 0.0
+            cp = pltpu.make_async_copy(bias_hbm.at[hg], bias_ref, sem_in)
+            cp.start()
+            cp.wait()
 
-        dbias_ref[0] += ds.astype(dbias_ref.dtype)
-        dscale_ref[h, 0] += jnp.sum(ds * s_cos)
+            # row-wise zeroing: a whole-group zeros() value would be a
+            # [G, Ns, Nl] (~20 MB) stack temporary
+            def zrow(gz, c):
+                dbias_ref[gz] = jnp.zeros((Ns, Nl), dbias_ref.dtype)
+                return c
 
-        ds_scaled = ds * scale
-        dqh = jnp.dot(ds_scaled, kh, preferred_element_type=jnp.float32)
-        dkh = jnp.dot(ds_scaled.T, qh, preferred_element_type=jnp.float32)
-        dq = (dqh - qh * jnp.sum(qh * dqh, axis=-1, keepdims=True)) * qn
-        dk = (dkh - kh * jnp.sum(kh * dkh, axis=-1, keepdims=True)) * kn
-        dt = dqkv_ref.dtype
-        dqkv_ref[0, :, :, 0, 0, :] = dq.reshape(ws, ws, hd).astype(dt)
-        dqkv_ref[0, :, :, 1, 0, :] = dk.reshape(ws, ws, hd).astype(dt)
-        dqkv_ref[0, :, :, 2, 0, :] = dv.reshape(ws, ws, hd).astype(dt)
+            jax.lax.fori_loop(0, G, zrow, 0)
+            for gz in range(G):
+                dscale_ref[gz, 0] = 0.0
+
+        # query-row chunking: every [*, N] temporary in the chunk body is
+        # [Nq, N] instead of [N, N] — Mosaic gives each SSA value its own
+        # stack slot, and ~20 full [784, 784] fp32 values per body do not
+        # fit next to the bias/dbias staging buffers. Softmax is row-wise,
+        # so chunks are independent; dk/dv/dscale accumulate in the carry.
+        QC = _q_chunks(N, ws)
+        Nq = N // QC
+        RW = Nq // ws                                   # map rows per chunk
+
+        # stage the (possibly bf16) qkv block to fp32 scratch once per cell
+        # (same rationale as the forward: dynamic per-head indexing needs
+        # fp32 refs, and XLA-side casts would materialize fp32 maps in HBM)
+        qf_ref[...] = qkv_ref[0].astype(jnp.float32)
+
+        def head(gi, carry):
+            k = qf_ref[:, :, 1, gi, :].reshape(N, hd)
+            v = qf_ref[:, :, 2, gi, :].reshape(N, hd)
+            scale = scale_ref[gi, 0]
+
+            kn = jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
+            kh = k * kn
+            kh16 = kh.astype(mxu_t)
+            v16 = v.astype(mxu_t)
+            dt = dqkv_ref.dtype
+
+            def qchunk(qc, acc):
+                # q/g row chunks load straight from the refs (Mosaic has no
+                # value-level dynamic_slice); normalization is row-wise so
+                # the q-hat chunk is self-contained
+                dv_a, dkh_a, dsc_a = acc
+                r0 = qc * Nq
+                qs = qf_ref[pl.ds(qc * RW, RW), :, 0, gi, :].reshape(Nq, hd)
+                gs = g_ref[0, pl.ds(qc * RW, RW), :, gi, :].reshape(
+                    Nq, hd).astype(jnp.float32)
+                qn = jax.lax.rsqrt(
+                    jnp.sum(qs * qs, axis=-1, keepdims=True) + 1e-12)
+                qhs = qs * qn
+                qhs16 = qhs.astype(mxu_t)
+                gs16 = gs.astype(mxu_t)
+                s_cos = _dot(qhs16, kh16, 1, 1)                # chunk [Nq, N]
+                s = s_cos * scale \
+                    + bias_ref[gi, pl.ds(r0, Nq),
+                               pl.ds(0, N)].astype(jnp.float32)
+                if shift > 0:
+                    s = s + _window_region_mask(ws, shift, last_i, last_j,
+                                                Nq, r0)
+                p = jax.nn.softmax(s, axis=-1)
+
+                dp = _dot(gs16, v16, 1, 1)
+                ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+
+                dbias_ref[gi, pl.ds(r0, Nq), pl.ds(0, N)] += ds.astype(
+                    dbias_ref.dtype)
+                dsc_a = dsc_a + jnp.sum(ds * s_cos)
+                ds16 = ds.astype(mxu_t)
+                dv_a = dv_a + _dot(p.astype(mxu_t), gs16, 0, 0)
+                dkh_a = dkh_a + _dot(ds16, qhs16, 0, 0) * scale
+                dqh = _dot(ds16, kh16, 1, 0) * scale
+                dq = (dqh - qhs * jnp.sum(qhs * dqh, axis=-1,
+                                          keepdims=True)) * qn
+                dqkv_ref[0, pl.ds(qc * RW, RW), :, 0, gi, :] = (
+                    dq.reshape(RW, ws, hd).astype(dt))
+                return (dv_a, dkh_a, dsc_a)
+
+            dv, dkh, dsc = jax.lax.fori_loop(
+                0, QC, qchunk,
+                (jnp.zeros((N, hd), jnp.float32),
+                 jnp.zeros((N, hd), jnp.float32), jnp.float32(0.0)))
+
+            dscale_ref[gi, 0] += dsc
+            dk = (dkh - kh * jnp.sum(kh * dkh, axis=-1, keepdims=True)) * kn
+            dqkv_ref[0, :, :, 1, gi, :] = dk.reshape(ws, ws, hd).astype(dt)
+            dqkv_ref[0, :, :, 2, gi, :] = dv.reshape(ws, ws, hd).astype(dt)
+            return carry
+
+        jax.lax.fori_loop(0, G, head, 0)
+
+        # flush this group's accumulated dbias at the group's last cell
+        @pl.when(last)
+        def _():
+            cp = pltpu.make_async_copy(dbias_ref, dbias_hbm.at[hg], sem_out)
+            cp.start()
+            cp.wait()
 
     return kernel
 
 
 def pallas_window_attention_map_bwd(qkv, bias, logit_scale, g,
-                                    mask: Optional[np.ndarray] = None,
-                                    interpret: bool = False):
+                                    shift: int = 0,
+                                    interpret: bool = False,
+                                    mxu_bf16: bool = False):
     """Map-layout fused backward: returns (dqkv, dbias, dlogit_scale).
-    Grid (H, B, nWh, nWw): all batch/window axes after the head axis so the
-    per-head dbias/dscale output blocks accumulate in place."""
+    Grid (H/G, B, nWh, nWw): all batch/window axes after the head-group axis
+    so the per-group dbias/dscale output blocks accumulate in place."""
     B, Hp, Wp, three, H, hd = qkv.shape
     ws = int(np.sqrt(bias.shape[-1]))
     N = ws * ws
     nWh, nWw = Hp // ws, Wp // ws
-    qkv_spec = pl.BlockSpec((1, ws, ws, 3, 1, hd),
-                            lambda h, b, i, j: (b, i, j, 0, h, 0),
+    G = _head_group(H)
+    qkv_spec = pl.BlockSpec((1, ws, ws, 3, G, hd),
+                            lambda hg, b, i, j: (b, i, j, 0, hg, 0),
                             memory_space=pltpu.VMEM)
-    g_spec = pl.BlockSpec((1, ws, ws, 1, hd),
-                          lambda h, b, i, j: (b, i, j, h, 0),
+    g_spec = pl.BlockSpec((1, ws, ws, G, hd),
+                          lambda hg, b, i, j: (b, i, j, hg, 0),
                           memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((1, N, N), lambda h, b, i, j: (h, 0, 0),
-                             memory_space=pltpu.VMEM)
-    scale_spec = pl.BlockSpec((1, 1, 1), lambda h, b, i, j: (h, 0, 0),
-                              memory_space=pltpu.VMEM)
-    scale = jnp.asarray(logit_scale, jnp.float32).reshape(H, 1, 1)
-    in_specs = [qkv_spec, bias_spec, scale_spec]
-    args = [qkv, bias, scale]
-    if mask is not None:
-        in_specs.append(pl.BlockSpec(
-            (1, N, N), lambda h, b, i, j: (i * nWw + j, 0, 0),
-            memory_space=pltpu.VMEM))
-        args.append(jnp.asarray(mask))
-    in_specs.append(g_spec)
-    args.append(g)
+    bias_spec = pl.BlockSpec(memory_space=pltpu.ANY)   # staged by manual DMA
+    scale_spec = pl.BlockSpec((G, 1), lambda hg, b, i, j: (hg, 0),
+                              memory_space=pltpu.SMEM)
+    scale = jnp.asarray(logit_scale, jnp.float32).reshape(H, 1)
 
+    # pad the DMA-staged bias/dbias trailing dims to (8, 128) multiples
+    # (see kernel note)
+    Ns = -(-N // 8) * 8
+    Nl = -(-N // 128) * 128
+    bias_p = bias.reshape(H // G, G, N, N)
+    if (Ns, Nl) != (N, N):
+        bias_p = jnp.pad(
+            bias_p, ((0, 0), (0, 0), (0, Ns - N), (0, Nl - N)))
     out_shape = (
-        jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
-        jax.ShapeDtypeStruct((H, N, N), jnp.float32),
+        # fp32 dqkv regardless of input dtype (dynamic per-head writes need
+        # fp32 refs; the cast back to the model dtype fuses into consumers)
+        jax.ShapeDtypeStruct(qkv.shape, jnp.float32),
+        jax.ShapeDtypeStruct((H // G, G, Ns, Nl), jnp.float32),
         jax.ShapeDtypeStruct((H, 1), jnp.float32),
     )
     out_specs = (
         qkv_spec,
-        pl.BlockSpec((1, N, N), lambda h, b, i, j: (h, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((H, 1), lambda h, b, i, j: (0, 0),
+        pl.BlockSpec(memory_space=pltpu.ANY),          # flushed by manual DMA
+        pl.BlockSpec((G, 1), lambda hg, b, i, j: (hg, 0),
                      memory_space=pltpu.SMEM),
     )
     dqkv, dbias, dscale = pl.pallas_call(
-        _map_bwd_kernel_factory(mask is not None),
-        grid=(H, B, nWh, nWw),
-        in_specs=in_specs,
+        _map_bwd_kernel_factory(G, ws, shift, nWh, nWw, mxu_bf16),
+        grid=(H // G, B, nWh, nWw),
+        in_specs=[qkv_spec, bias_spec, scale_spec, g_spec],
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((G, Ns, Nl), jnp.float32)] * 2
+        + [pltpu.VMEM((ws, ws, 3, G, hd), jnp.float32)]
+        + [pltpu.SemaphoreType.DMA] * 2,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(*args)
-    return dqkv, dbias, dscale.reshape(H)
+            vmem_limit_bytes=127 * 1024 * 1024),
+    )(qkv, bias_p, scale, g)
+    return (dqkv, dbias[..., :N, :N].reshape(H, N, N), dscale.reshape(H))
 
 
 def window_attention_map_reference(qkv, bias, logit_scale,
@@ -485,12 +656,11 @@ def window_attention_map_reference(qkv, bias, logit_scale,
 
 
 @functools.lru_cache(maxsize=None)
-def make_window_attention_map(mask_key: Optional[int] = None):
-    mask = _MASK_STORE.get(mask_key) if mask_key is not None else None
-
+def make_window_attention_map(shift: int = 0, mxu_bf16: bool = False):
     @jax.custom_vjp
     def attn(qkv, bias, logit_scale):
-        return pallas_window_attention_map(qkv, bias, logit_scale, mask)
+        return pallas_window_attention_map(qkv, bias, logit_scale, shift,
+                                           mxu_bf16=mxu_bf16)
 
     def fwd(qkv, bias, logit_scale):
         return attn(qkv, bias, logit_scale), (qkv, bias, logit_scale)
@@ -498,15 +668,290 @@ def make_window_attention_map(mask_key: Optional[int] = None):
     def bwd(res, g):
         qkv, bias, logit_scale = res
         dqkv, dbias, dscale = pallas_window_attention_map_bwd(
-            qkv, bias, logit_scale, g, mask)
+            qkv, bias, logit_scale, g, shift, mxu_bf16=mxu_bf16)
+        return (dqkv.astype(qkv.dtype), dbias,
+                dscale.astype(jnp.asarray(logit_scale).dtype))
+
+    attn.defvjp(fwd, bwd)
+    return attn
+
+
+def window_attention_map(qkv, bias, logit_scale, shift: int = 0,
+                         mxu_bf16: bool = False):
+    """Map-layout fused window attention with autodiff (static shift).
+
+    ``mxu_bf16``: cast matmul operands to bf16 inside the kernels (fp32
+    softmax/normalize/accumulate retained) — 2× MXU throughput, matching
+    the XLA path's model-dtype einsums when the model runs bf16."""
+    return make_window_attention_map(shift, mxu_bf16)(qkv, bias, logit_scale)
+
+
+# --------------------------------------------------------------------------- #
+# flat-layout kernels (the production path): [Bn, N, 3C] in, [Bn, N, C] out
+# --------------------------------------------------------------------------- #
+# Lessons from profiling the two designs above on v5e:
+#   * the [Bn, H, N, hd] kernels are fast (small fully-STATIC per-(head,
+#     window) cells pipeline well) but need a 5-D transpose + partition
+#     copy on each side (4 map copies/layer), and the forward's (Bn, H)
+#     grid re-fetches the [N, N] bias block every step;
+#   * the map-layout kernels have zero copies but head extraction from the
+#     (..., H, hd) trailing dims needs fori_loop + dynamic second-minor
+#     indexing (fp32-only, chunked bwd) — measured 2× slower backward.
+# The flat layout keeps BOTH advantages: qkv arrives as the window-
+# partitioned projection output [Bn, N, 3C] (heads contiguous in lanes,
+# C % 128 == 0), so a (1, N, 128)-lane block addresses a 4-head group
+# PER GRID CELL with purely static in-kernel slicing, bf16 blocks allowed,
+# and the grid (H/4, Bn) fetches each bias block once per group. The model
+# pays one [Bn, N, C] partition copy before qkv and one reverse copy after
+# proj — far cheaper than either alternative's overhead.
+
+
+def _lane_group(H: int, hd: int, C: int) -> int:
+    """Heads per grid cell: a 128-lane block when legal, else all heads."""
+    if C % 128 == 0 and 128 % hd == 0 and H % (128 // hd) == 0:
+        return 128 // hd
+    return H
+
+
+def _flat_fwd_kernel_factory(GL: int, hd: int, ws: int, shift: int,
+                             nWh: int, nWw: int, mxu_bf16: bool):
+    N = ws * ws
+    mxu_t = jnp.bfloat16 if mxu_bf16 else jnp.float32
+
+    def kernel(q_ref, k_ref, v_ref, bias_ref, scale_ref, o_ref):
+        hg = pl.program_id(0)
+        if shift > 0:
+            wid = pl.program_id(1) % (nWh * nWw)
+            mask = _window_region_mask(ws, shift, wid // nWw == nWh - 1,
+                                       wid % nWw == nWw - 1)
+        else:
+            mask = None
+        for gi in range(GL):            # static unroll: GL is 4 (or tiny H)
+            sl = slice(gi * hd, (gi + 1) * hd)
+            q = q_ref[0, :, sl].astype(jnp.float32)
+            k = k_ref[0, :, sl].astype(jnp.float32)
+            v = v_ref[0, :, sl]
+            q = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
+            k = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
+            s = _dot(q.astype(mxu_t), k.astype(mxu_t), 1, 1) \
+                * scale_ref[hg * GL + gi, 0] + bias_ref[gi].astype(jnp.float32)
+            if mask is not None:
+                s = s + mask
+            p = jax.nn.softmax(s, axis=-1)
+            out = _dot(p.astype(mxu_t), v.astype(mxu_t), 1, 0)
+            o_ref[0, :, sl] = out.astype(o_ref.dtype)
+        return
+
+    return kernel
+
+
+def pallas_window_attention_flat(qkv, bias, logit_scale, shift: int = 0,
+                                 nWh: int = 1, nWw: int = 1,
+                                 interpret: bool = False,
+                                 mxu_bf16: bool = False):
+    """Flat-layout fused forward.
+
+    qkv: [Bn, N, 3C] (windows already partitioned; batch-major window order
+    b = batch·nW + wh·nWw + ww); bias [H, N, N]; logit_scale [H]; the shift
+    mask is synthesized in-kernel from the window id. Returns [Bn, N, C]
+    fp32 (cast AFTER the call fuses into the proj GEMM).
+    """
+    Bn, N, threeC = qkv.shape
+    C = threeC // 3
+    H = bias.shape[0]
+    hd = C // H
+    ws = int(np.sqrt(N))
+    GL = _lane_group(H, hd, C)
+    NB = H // GL                                 # lane blocks per modality
+
+    def spec(off):
+        return pl.BlockSpec((1, N, GL * hd), lambda hg, b: (b, 0, off + hg),
+                            memory_space=pltpu.VMEM)
+
+    bias_spec = pl.BlockSpec((GL, N, N), lambda hg, b: (hg, 0, 0),
+                             memory_space=pltpu.VMEM)
+    # full (H, 1) SMEM block — a (GL, 1) block would violate the trailing-
+    # dims rule when GL isn't a multiple of 8; scalar reads index hg·GL+gi
+    scale_spec = pl.BlockSpec((H, 1), lambda hg, b: (0, 0),
+                              memory_space=pltpu.SMEM)
+    scale = jnp.asarray(logit_scale, jnp.float32).reshape(H, 1)
+    return pl.pallas_call(
+        _flat_fwd_kernel_factory(GL, hd, ws, shift, nWh, nWw, mxu_bf16),
+        grid=(NB, Bn),
+        in_specs=[spec(0), spec(NB), spec(2 * NB), bias_spec, scale_spec],
+        out_specs=pl.BlockSpec((1, N, GL * hd), lambda hg, b: (b, 0, hg),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bn, N, C), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * Bn * H * N * N * hd,
+            bytes_accessed=Bn * N * 4 * C * qkv.dtype.itemsize
+            + H * N * N * 4,
+            transcendentals=Bn * H * N * N,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(qkv, qkv, qkv, bias, scale)
+
+
+def _flat_bwd_kernel_factory(GL: int, hd: int, ws: int, shift: int,
+                             nWh: int, nWw: int, mxu_bf16: bool):
+    N = ws * ws
+    mxu_t = jnp.bfloat16 if mxu_bf16 else jnp.float32
+
+    def kernel(q_ref, k_ref, v_ref, bias_ref, scale_ref, g_ref,
+               dq_ref, dk_ref, dv_ref, dbias_ref, dscale_ref):
+        hg = pl.program_id(0)
+        b = pl.program_id(1)
+        if shift > 0:
+            wid = b % (nWh * nWw)
+            mask = _window_region_mask(ws, shift, wid // nWw == nWh - 1,
+                                       wid % nWw == nWw - 1)
+        else:
+            mask = None
+
+        @pl.when(b == 0)
+        def _():
+            dbias_ref[...] = jnp.zeros(dbias_ref.shape, dbias_ref.dtype)
+            for gz in range(GL):
+                dscale_ref[hg * GL + gz, 0] = 0.0
+
+        for gi in range(GL):            # static unroll
+            sl = slice(gi * hd, (gi + 1) * hd)
+            q = q_ref[0, :, sl].astype(jnp.float32)
+            k = k_ref[0, :, sl].astype(jnp.float32)
+            v = v_ref[0, :, sl].astype(jnp.float32)
+            g = g_ref[0, :, sl].astype(jnp.float32)
+            scale = scale_ref[hg * GL + gi, 0]
+
+            qn = jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
+            kn = jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
+            qh = q * qn
+            kh = k * kn
+            qh16 = qh.astype(mxu_t)
+            kh16 = kh.astype(mxu_t)
+            s_cos = _dot(qh16, kh16, 1, 1)
+            s = s_cos * scale + bias_ref[gi].astype(jnp.float32)
+            if mask is not None:
+                s = s + mask
+            p = jax.nn.softmax(s, axis=-1)
+
+            g16 = g.astype(mxu_t)
+            dp = _dot(g16, v.astype(mxu_t), 1, 1)
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+
+            dbias_ref[gi] += ds.astype(dbias_ref.dtype)
+            dscale_ref[hg * GL + gi, 0] += jnp.sum(ds * s_cos)
+
+            ds16 = ds.astype(mxu_t)
+            dv = _dot(p.astype(mxu_t), g16, 0, 0)            # pᵀ·g
+            dqh = _dot(ds16, kh16, 1, 0) * scale
+            dkh = _dot(ds16, qh16, 0, 0) * scale             # dsᵀ·qh
+            dq = (dqh - qh * jnp.sum(qh * dqh, axis=-1, keepdims=True)) * qn
+            dk = (dkh - kh * jnp.sum(kh * dkh, axis=-1, keepdims=True)) * kn
+            dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+        return
+
+    return kernel
+
+
+def pallas_window_attention_flat_bwd(qkv, bias, logit_scale, g,
+                                     shift: int = 0,
+                                     nWh: int = 1, nWw: int = 1,
+                                     interpret: bool = False,
+                                     mxu_bf16: bool = False):
+    """Flat-layout fused backward: (dq, dk, dv [Bn,N,C] fp32, dbias,
+    dlogit_scale). Grid (H/GL, Bn) — per-group dbias/dscale blocks
+    accumulate across the fast batch axis."""
+    Bn, N, threeC = qkv.shape
+    C = threeC // 3
+    H = bias.shape[0]
+    hd = C // H
+    ws = int(np.sqrt(N))
+    GL = _lane_group(H, hd, C)
+    NB = H // GL
+
+    def spec(off):
+        return pl.BlockSpec((1, N, GL * hd), lambda hg, b: (b, 0, off + hg),
+                            memory_space=pltpu.VMEM)
+
+    gout_spec = pl.BlockSpec((1, N, GL * hd), lambda hg, b: (b, 0, hg),
+                             memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((GL, N, N), lambda hg, b: (hg, 0, 0),
+                             memory_space=pltpu.VMEM)
+    scale_spec = pl.BlockSpec((H, 1), lambda hg, b: (0, 0),
+                              memory_space=pltpu.SMEM)
+    scale = jnp.asarray(logit_scale, jnp.float32).reshape(H, 1)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((Bn, N, C), jnp.float32),   # dq
+        jax.ShapeDtypeStruct((Bn, N, C), jnp.float32),   # dk
+        jax.ShapeDtypeStruct((Bn, N, C), jnp.float32),   # dv
+        jax.ShapeDtypeStruct((H, N, N), jnp.float32),
+        jax.ShapeDtypeStruct((H, 1), jnp.float32),
+    )
+    out_specs = (
+        gout_spec, gout_spec, gout_spec,
+        pl.BlockSpec((GL, N, N), lambda hg, b: (hg, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, 1), lambda hg, b: (0, 0),
+                     memory_space=pltpu.SMEM),
+    )
+    dq, dk, dv, dbias, dscale = pl.pallas_call(
+        _flat_bwd_kernel_factory(GL, hd, ws, shift, nWh, nWw, mxu_bf16),
+        grid=(NB, Bn),
+        in_specs=[spec(0), spec(NB), spec(2 * NB), bias_spec, scale_spec,
+                  gout_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(qkv, qkv, qkv, bias, scale, g)
+    return dq, dk, dv, dbias, dscale.reshape(H)
+
+
+def window_attention_flat_reference(qkv, bias, logit_scale,
+                                    mask: Optional[np.ndarray] = None):
+    """Plain-XLA flat-layout composition (tests, non-TPU backends)."""
+    Bn, N, threeC = qkv.shape
+    C = threeC // 3
+    H = bias.shape[0]
+    hd = C // H
+    x = qkv.reshape(Bn, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
+    out = window_attention_reference(x[0], x[1], x[2], bias, logit_scale,
+                                     mask)                  # [Bn, H, N, hd]
+    return out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
+
+
+@functools.lru_cache(maxsize=None)
+def make_window_attention_flat(shift: int, nWh: int, nWw: int,
+                               mxu_bf16: bool = False):
+    @jax.custom_vjp
+    def attn(qkv, bias, logit_scale):
+        return pallas_window_attention_flat(qkv, bias, logit_scale, shift,
+                                            nWh, nWw, mxu_bf16=mxu_bf16)
+
+    def fwd(qkv, bias, logit_scale):
+        return attn(qkv, bias, logit_scale), (qkv, bias, logit_scale)
+
+    def bwd(res, g):
+        qkv, bias, logit_scale = res
+        dq, dk, dv, dbias, dscale = pallas_window_attention_flat_bwd(
+            qkv, bias, logit_scale, g, shift, nWh, nWw, mxu_bf16=mxu_bf16)
+        dqkv = jnp.concatenate([dq, dk, dv], axis=-1).astype(qkv.dtype)
         return dqkv, dbias, dscale.astype(jnp.asarray(logit_scale).dtype)
 
     attn.defvjp(fwd, bwd)
     return attn
 
 
-def window_attention_map(qkv, bias, logit_scale,
-                         mask: Optional[np.ndarray] = None):
-    """Map-layout fused window attention with autodiff."""
-    return make_window_attention_map(register_mask(mask))(qkv, bias,
-                                                          logit_scale)
+def window_attention_flat(qkv, bias, logit_scale, shift: int = 0,
+                          nWh: int = 1, nWw: int = 1,
+                          mxu_bf16: bool = False):
+    """Flat-layout fused window attention with autodiff (static shift and
+    window grid). The production kernel — see the design note above."""
+    return make_window_attention_flat(shift, nWh, nWw, mxu_bf16)(
+        qkv, bias, logit_scale)

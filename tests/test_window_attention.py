@@ -116,6 +116,7 @@ def test_map_kernel_matches_reference_nomask():
 
 
 def test_map_kernel_matches_reference_masked():
+    """shift mask synthesized in-kernel must equal the mask-based reference."""
     from mvuld_tpu.ops.window_attention import (
         pallas_window_attention_map, window_attention_map_reference)
     qkv, bias, scale = _map_inputs(seed=1)
@@ -123,9 +124,53 @@ def test_map_kernel_matches_reference_masked():
     want = np.asarray(window_attention_map_reference(
         jnp.asarray(qkv), jnp.asarray(bias), jnp.asarray(scale), mask))
     got = np.asarray(pallas_window_attention_map(
-        jnp.asarray(qkv), jnp.asarray(bias), jnp.asarray(scale), mask,
+        jnp.asarray(qkv), jnp.asarray(bias), jnp.asarray(scale), shift=2,
         interpret=True))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_map_kernel_head_groups():
+    """H % 8 == 0 path: heads processed in blocks of 8 (grid head-group axis)."""
+    from mvuld_tpu.ops.window_attention import (
+        pallas_window_attention_map, window_attention_map_reference)
+    qkv, bias, scale = _map_inputs(seed=5, heads=16, hd=4)
+    mask = shifted_window_mask(8, 8, 4, 2)
+    want = np.asarray(window_attention_map_reference(
+        jnp.asarray(qkv), jnp.asarray(bias), jnp.asarray(scale), mask))
+    got = np.asarray(pallas_window_attention_map(
+        jnp.asarray(qkv), jnp.asarray(bias), jnp.asarray(scale), shift=2,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_map_kernel_mxu_bf16_close():
+    """bf16-MXU variant stays within bf16 rounding of the fp32 reference."""
+    from mvuld_tpu.ops.window_attention import (
+        pallas_window_attention_map, pallas_window_attention_map_bwd,
+        window_attention_map_reference)
+    qkv, bias, scale = _map_inputs(seed=7)
+    mask = shifted_window_mask(8, 8, 4, 2)
+    want = np.asarray(window_attention_map_reference(
+        jnp.asarray(qkv), jnp.asarray(bias), jnp.asarray(scale), mask))
+    got = np.asarray(pallas_window_attention_map(
+        jnp.asarray(qkv), jnp.asarray(bias), jnp.asarray(scale), shift=2,
+        interpret=True, mxu_bf16=True))
+    np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
+
+    g = np.full(got.shape, 0.25, np.float32)
+
+    def loss(a, b, c):
+        return (window_attention_map_reference(a, b, c, mask)
+                * jnp.asarray(g)).sum()
+
+    wq, wb, ws_ = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(qkv), jnp.asarray(bias), jnp.asarray(scale))
+    dqkv, dbias, dscale = pallas_window_attention_map_bwd(
+        jnp.asarray(qkv), jnp.asarray(bias), jnp.asarray(scale),
+        jnp.asarray(g), shift=2, interpret=True, mxu_bf16=True)
+    for got_g, want_g in ((dqkv, wq), (dbias, wb), (dscale, ws_)):
+        np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                                   atol=5e-2, rtol=5e-2)
 
 
 def test_map_custom_vjp_gradients_match():
@@ -149,7 +194,7 @@ def test_map_custom_vjp_gradients_match():
         wa.make_window_attention_map.cache_clear()
 
         def fused_loss(a):
-            return (wa.window_attention_map(*a, mask) ** 2).sum()
+            return (wa.window_attention_map(*a, shift=2) ** 2).sum()
 
         got = jax.grad(fused_loss)(tuple(map(jnp.asarray, (qkv, bias, scale))))
     finally:
@@ -162,7 +207,7 @@ def test_map_custom_vjp_gradients_match():
 
 
 def test_model_pallas_path_matches_xla_path():
-    """SwinV2 with use_pallas (map-layout kernels, interpret) must equal the
+    """SwinV2 with use_pallas (flat-layout kernels, interpret) must equal the
     pure-XLA windows path — logits AND gradients, shifted blocks included."""
     import mvuld_tpu.ops.window_attention as wa
     from mvuld_tpu.models.swin_v2 import SwinTransformerV2, SwinV2Config
@@ -176,14 +221,14 @@ def test_model_pallas_path_matches_xla_path():
     variables = model_xla.init(jax.random.PRNGKey(0), x)
     want = np.asarray(model_xla.apply(variables, x))
 
-    orig_f = wa.pallas_window_attention_map
-    orig_b = wa.pallas_window_attention_map_bwd
-    wa.pallas_window_attention_map = \
+    orig_f = wa.pallas_window_attention_flat
+    orig_b = wa.pallas_window_attention_flat_bwd
+    wa.pallas_window_attention_flat = \
         lambda *a, **kw: orig_f(*a, **{**kw, "interpret": True})
-    wa.pallas_window_attention_map_bwd = \
+    wa.pallas_window_attention_flat_bwd = \
         lambda *a, **kw: orig_b(*a, **{**kw, "interpret": True})
     try:
-        wa.make_window_attention_map.cache_clear()
+        wa.make_window_attention_flat.cache_clear()
         model_p = SwinTransformerV2(cfg, use_pallas=True)
         got = np.asarray(model_p.apply(variables, x))
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
@@ -201,6 +246,65 @@ def test_model_pallas_path_matches_xla_path():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-3, rtol=5e-3)
     finally:
-        wa.pallas_window_attention_map = orig_f
-        wa.pallas_window_attention_map_bwd = orig_b
-        wa.make_window_attention_map.cache_clear()
+        wa.pallas_window_attention_flat = orig_f
+        wa.pallas_window_attention_flat_bwd = orig_b
+        wa.make_window_attention_flat.cache_clear()
+
+
+# --------------------------------------------------------------- flat layout
+def _flat_inputs(seed=0, Bn=8, ws=4, heads=2, hd=8):
+    rng = np.random.RandomState(seed)
+    N = ws * ws
+    C = heads * hd
+    qkv = rng.randn(Bn, N, 3 * C).astype(np.float32)
+    bias = rng.randn(heads, N, N).astype(np.float32)
+    scale = np.exp(rng.rand(heads).astype(np.float32))
+    return qkv, bias, scale
+
+
+def test_flat_kernel_matches_reference_masked():
+    """Flat-layout kernel (in-kernel shift mask from window id) vs the
+    mask-based XLA reference. 8 windows = 2 batches of the 2x2 grid."""
+    from mvuld_tpu.ops.window_attention import (
+        pallas_window_attention_flat, window_attention_flat_reference)
+    qkv, bias, scale = _flat_inputs(seed=3)
+    mask = shifted_window_mask(8, 8, 4, 2)      # nWh = nWw = 2
+    want = np.asarray(window_attention_flat_reference(
+        jnp.asarray(qkv), jnp.asarray(bias), jnp.asarray(scale), mask))
+    got = np.asarray(pallas_window_attention_flat(
+        jnp.asarray(qkv), jnp.asarray(bias), jnp.asarray(scale), shift=2,
+        nWh=2, nWw=2, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_flat_custom_vjp_gradients_match():
+    import mvuld_tpu.ops.window_attention as wa
+    qkv, bias, scale = _flat_inputs(seed=4)
+    mask = shifted_window_mask(8, 8, 4, 2)
+
+    def ref_loss(a):
+        return (wa.window_attention_flat_reference(*a, mask) ** 2).sum()
+
+    want = jax.grad(ref_loss)(tuple(map(jnp.asarray, (qkv, bias, scale))))
+
+    orig_f = wa.pallas_window_attention_flat
+    orig_b = wa.pallas_window_attention_flat_bwd
+    wa.pallas_window_attention_flat = \
+        lambda *a, **kw: orig_f(*a, **{**kw, "interpret": True})
+    wa.pallas_window_attention_flat_bwd = \
+        lambda *a, **kw: orig_b(*a, **{**kw, "interpret": True})
+    try:
+        wa.make_window_attention_flat.cache_clear()
+
+        def fused_loss(a):
+            return (wa.window_attention_flat(*a, shift=2, nWh=2, nWw=2)
+                    ** 2).sum()
+
+        got = jax.grad(fused_loss)(tuple(map(jnp.asarray, (qkv, bias, scale))))
+    finally:
+        wa.pallas_window_attention_flat = orig_f
+        wa.pallas_window_attention_flat_bwd = orig_b
+        wa.make_window_attention_flat.cache_clear()
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-4, rtol=1e-3)
