@@ -737,8 +737,12 @@ def _flat_fwd_kernel_factory(GL: int, hd: int, ws: int, shift: int,
                 * scale_ref[hg * GL + gi, 0] + bias_ref[gi].astype(jnp.float32)
             if mask is not None:
                 s = s + mask
-            p = jax.nn.softmax(s, axis=-1)
-            out = _dot(p.astype(mxu_t), v.astype(mxu_t), 1, 0)
+            # unnormalized softmax: divide the [N, hd] OUTPUT by the row
+            # sums instead of the [N, N] probabilities — one fewer full
+            # VPU pass (≡ softmax(s) @ v up to rounding)
+            e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+            out = _dot(e.astype(mxu_t), v.astype(mxu_t), 1, 0)
+            out = out / jnp.sum(e, axis=-1, keepdims=True)
             o_ref[0, :, sl] = out.astype(o_ref.dtype)
         return
 
