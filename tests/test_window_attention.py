@@ -308,3 +308,45 @@ def test_flat_custom_vjp_gradients_match():
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_model_pallas_bf16_path_close():
+    """The production config (bf16 model dtype + flat pallas kernels) must
+    stay within bf16 rounding of the fp32 XLA path."""
+    import mvuld_tpu.ops.window_attention as wa
+    from mvuld_tpu.models.swin_v2 import SwinTransformerV2, SwinV2Config
+
+    cfg = SwinV2Config(img_size=32, patch_size=4, in_chans=3, num_classes=2,
+                       embed_dim=16, depths=(2,), num_heads=(2,),
+                       window_size=4, drop_rate=0.0, attn_drop_rate=0.0,
+                       drop_path_rate=0.0, pretrained_window_sizes=(0,))
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 32, 32, 3), jnp.float32)
+    model_xla = SwinTransformerV2(cfg)
+    variables = model_xla.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(model_xla.apply(variables, x))
+
+    orig_f = wa.pallas_window_attention_flat
+    orig_b = wa.pallas_window_attention_flat_bwd
+    wa.pallas_window_attention_flat = \
+        lambda *a, **kw: orig_f(*a, **{**kw, "interpret": True})
+    wa.pallas_window_attention_flat_bwd = \
+        lambda *a, **kw: orig_b(*a, **{**kw, "interpret": True})
+    try:
+        wa.make_window_attention_flat.cache_clear()
+        import dataclasses
+        cfg16 = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+        model_p = SwinTransformerV2(cfg16, use_pallas=True)
+        got = np.asarray(model_p.apply(variables, x))
+        np.testing.assert_allclose(got, want, atol=0.15, rtol=0.1)
+
+        def loss_p(p):
+            return (model_p.apply({"params": p}, x).astype(jnp.float32)
+                    ** 2).sum()
+
+        gp = jax.grad(loss_p)(variables["params"])   # must trace + be finite
+        for leaf in jax.tree_util.tree_leaves(gp):
+            assert np.isfinite(np.asarray(leaf, np.float32)).all()
+    finally:
+        wa.pallas_window_attention_flat = orig_f
+        wa.pallas_window_attention_flat_bwd = orig_b
+        wa.make_window_attention_flat.cache_clear()
