@@ -1,6 +1,10 @@
 """Benchmark: SwinV2-Base 448 fine-tune throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline", ...}
+flushed AS SOON AS the swin measurement exists, then (budget permitting) a
+follow-up line with the complete result set including the fusion metric —
+whichever JSON line a harness parses (first or last), it gets the headline
+number even if the process is killed mid-fusion-bench.
 
 Protocol mirrors the reference's --throughput harness (mvuld/main.py:438-455:
 warmup then timed iters, images/s = iters·batch/Δt) but times the full
@@ -21,7 +25,7 @@ import json
 import os
 import time
 
-BASELINE_IMAGES_PER_SEC = 10.0
+BASELINE_IMAGES_PER_SEC = 10.0  # estimate — reference publishes no numbers
 # env overrides allow sweep runs without editing the committed protocol
 BATCH = int(os.environ.get("MVULD_BENCH_BATCH", 64))
 ITERS = int(os.environ.get("MVULD_BENCH_ITERS", 8))
@@ -31,8 +35,20 @@ REPEATS = int(os.environ.get("MVULD_BENCH_REPEATS", 3))
 # reference's production dims (512 hidden, 100 nodes, 8 Rs-GCN, 8 FC)
 FUSION_BATCH = int(os.environ.get("MVULD_BENCH_FUSION_BATCH", 256))
 FUSION_STEPS = int(os.environ.get("MVULD_BENCH_FUSION_STEPS", 8))
-BASELINE_FUNCTIONS_PER_SEC = 40.0  # reference fusion trainer: bs 4, ~10 it/s
+# GPU ESTIMATE, kept conservative: the reference's own training step was
+# MEASURED in this environment at 3.81 functions/s on torch CPU
+# (python -m mvuld_tpu.tools.baseline_torch: Multi_DefectModel_new_GCN,
+# bs 4, 100-node graphs, 1.05 s/step, torch 2.13 CPU). Its published runs
+# are single-GPU; we credit the GPU with ~10× the measured CPU number so
+# vs_baseline UNDERSTATES the speedup rather than inflating it.
+BASELINE_FUNCTIONS_PER_SEC = 40.0
+BASELINE_FUNCTIONS_PER_SEC_TORCH_CPU_MEASURED = 3.81
 SKIP_FUSION = os.environ.get("MVULD_BENCH_SKIP_FUSION", "0") == "1"
+# Elapsed-time budget: if the swin bench (incl. any cold compile) already ate
+# this many seconds, skip the fusion bench so the run still emits results
+# before a driver-side timeout can kill it.
+BUDGET_S = float(os.environ.get("MVULD_BENCH_BUDGET_S", 1200))
+_T0 = time.time()
 
 
 def main() -> None:
@@ -122,16 +138,26 @@ def main() -> None:
         "value": round(images_per_sec, 2),
         "unit": "images/s/chip",
         "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
+        "baseline_estimated": True,  # ref publishes no absolute img/s number
         "mfu_vs_197tf_peak": round(images_per_sec * flops_per_img / 197e12, 3),
         "mfu_vs_139tf_measured": round(
             images_per_sec * flops_per_img / 139e12, 3),
         "batch": BATCH, "fused_steps": ITERS, "remat": REMAT,
         "timings_s": [round(t, 3) for t in times],
+        "setup_s": round(time.time() - _T0 - sum(times), 1),
     }
+    # Emit the headline metric the moment it exists (flushed) so a timeout
+    # during the fusion bench can never lose it (BENCH_r02 postmortem: one
+    # print at the very end + rc=124 == no round number at all).
+    print(json.dumps(result), flush=True)
 
     if not SKIP_FUSION:
-        result.update(_fusion_bench(jax, jnp, np, cfg, rng))
-    print(json.dumps(result))
+        if time.time() - _T0 > BUDGET_S:
+            result["fusion_skipped"] = f"budget {BUDGET_S}s exhausted"
+        else:
+            result.update(_fusion_bench(jax, jnp, np, cfg, rng))
+        # follow-up line carries the COMPLETE result set
+        print(json.dumps(result), flush=True)
 
 
 def _fusion_bench(jax, jnp, np, cfg, rng):
@@ -185,6 +211,9 @@ def _fusion_bench(jax, jnp, np, cfg, rng):
     return {
         "fusion_functions_per_sec": round(fps, 1),
         "fusion_vs_baseline": round(fps / BASELINE_FUNCTIONS_PER_SEC, 2),
+        "fusion_baseline_estimated": True,  # 40 fn/s credited to the ref GPU
+        "fusion_vs_torch_cpu_measured": round(
+            fps / BASELINE_FUNCTIONS_PER_SEC_TORCH_CPU_MEASURED, 1),
         "fusion_batch": B,
     }
 

@@ -114,11 +114,28 @@ def shard_params_tp(mesh: Mesh, params: Any) -> Any:
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def enable_compile_cache(path: str = "/tmp/mvuld_jax_cache") -> None:
+def enable_compile_cache(path: Optional[str] = None) -> None:
     """Persistent XLA compilation cache — repeated runs of the same program
-    (bench, dryrun, trainers) skip the multi-minute TPU compile."""
+    (bench, dryrun, trainers) skip the multi-minute TPU compile.
+
+    Default path is ``~/.cache/mvuld_jax_cache`` (survives reboots and is
+    shared between the builder session and the driver's bench run — /tmp is
+    not guaranteed to be). Override with ``MVULD_CACHE_DIR``; set it to the
+    empty string to disable persistence entirely (used by the CPU dryrun
+    subprocess so cross-machine XLA:CPU AOT entries can never SIGILL it).
+    """
+    import os
+
     import jax
+    if path is None:
+        path = os.environ.get(
+            "MVULD_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "mvuld_jax_cache"))
+    if not path:
+        return
     try:
+        os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
