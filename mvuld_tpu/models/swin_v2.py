@@ -32,6 +32,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 
 @dataclasses.dataclass(frozen=True)
@@ -343,6 +344,15 @@ class WindowAttentionV2(nn.Module):
             out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(self.dtype), v)
             out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
             out = window_reverse(out, ws, Hp, Wp)             # [B, Hp, Wp, C]
+        # Name the attention output for selective remat: under
+        # jax.checkpoint(policy=save_only_these_names("attn_out")) the bwd
+        # pass reads this saved value instead of RE-RUNNING the fused fwd
+        # attention kernel (the kernel's custom-VJP residuals are its inputs,
+        # which the policy recomputes via the cheap qkv GEMM; the output is
+        # only needed downstream by proj's bwd — saving it severs the one
+        # data dependency that forced the kernel re-run). ~Hp·Wp·C bf16 per
+        # block (~1.6 GB total for SwinV2-Base-448 @ bs64).
+        out = checkpoint_name(out, "attn_out")
         out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
@@ -486,6 +496,12 @@ class SwinTransformerV2(nn.Module):
     use_checkpoint: bool = False
     scan_blocks: bool = False   # lax.scan over block pairs (fast compile)
     use_pallas: bool = False    # fused Pallas window-attention kernel (TPU)
+    # remat policy: save the named attention outputs so the bwd pass never
+    # re-runs the fwd attention kernel (trades ~1.6 GB HBM at bs64 for the
+    # dominant recompute — measured 538 ms of a 1068 ms bs64 step was
+    # attention custom-calls, ~half of it the remat re-run). False = full
+    # recompute (round-2 behavior, lowest memory).
+    save_attn_in_remat: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
@@ -505,7 +521,11 @@ class SwinTransformerV2(nn.Module):
         dpr = np.linspace(0, c.drop_path_rate, sum(c.depths)).tolist()
         # activation remat per block (reference: TRAIN.USE_CHECKPOINT →
         # torch.utils.checkpoint, swin_transformer_v2.py:427-431)
-        block_cls = (nn.remat(SwinBlockV2, static_argnums=(2,))
+        remat_policy = (
+            jax.checkpoint_policies.save_only_these_names("attn_out")
+            if self.save_attn_in_remat else None)
+        block_cls = (nn.remat(SwinBlockV2, static_argnums=(2,),
+                              policy=remat_policy)
                      if self.use_checkpoint else SwinBlockV2)
         block_idx = 0
         for i_layer, depth in enumerate(c.depths):
@@ -518,7 +538,8 @@ class SwinTransformerV2(nn.Module):
                 ).reshape(n_pairs, 2)
                 pair_cls = BlockPair
                 if self.use_checkpoint:
-                    pair_cls = nn.remat(BlockPair, static_argnums=(3,))
+                    pair_cls = nn.remat(BlockPair, static_argnums=(3,),
+                                        policy=remat_policy)
                 scanned = nn.scan(
                     pair_cls,
                     variable_axes={"params": 0},

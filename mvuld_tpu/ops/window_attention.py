@@ -310,7 +310,13 @@ def _q_chunks(N: int, ws: int) -> int:
         nq = N // qc
         if nq % ws == 0 and nq % 8 == 0 and nq <= 128:
             return qc
-    return 1
+    # no ws- and 8-aligned divisor ≤ 128: falling back to one chunk would
+    # silently recreate the full [N, N] temporaries the chunking exists to
+    # avoid (likely VMEM/compile blowup) — fail loudly instead (ADVICE r2)
+    raise ValueError(
+        f"window attention bwd: N={N} (ws={ws}) has no query-chunk size that "
+        f"is a multiple of ws and 8 and ≤ 128; pick a window size whose N "
+        f"factors this way (every SwinV2 config does)")
 
 
 def _window_region_mask(ws: int, shift: int, last_i, last_j,
@@ -713,6 +719,30 @@ def _lane_group(H: int, hd: int, C: int) -> int:
     return H
 
 
+def _check_flat_geometry(Bn, N, C, H, ws, bias_shape, shift, nWh, nWw):
+    """Input validation for the flat entry points (ADVICE r2): a non-square
+    N, a mismatched bias, or a shift without the window grid would silently
+    compute attention over truncated windows / wrong boundary masks."""
+    if ws * ws != N:
+        raise ValueError(f"flat window attention: N={N} is not a square "
+                         f"(ws²); got qkv shape [*, {N}, {3*C}]")
+    if C % H != 0:
+        raise ValueError(f"flat window attention: C={C} not divisible by "
+                         f"H={H} heads")
+    if bias_shape != (H, N, N):
+        raise ValueError(f"flat window attention: bias shape {bias_shape} "
+                         f"!= (H={H}, N={N}, N={N})")
+    if shift > 0:
+        if nWh < 2 or nWw < 2:
+            raise ValueError(
+                f"flat window attention: shift={shift} requires the window "
+                f"grid (nWh, nWw) ≥ 2 — with the default (1, 1) every "
+                f"window would get the boundary mask (wrong results)")
+        if Bn % (nWh * nWw) != 0:
+            raise ValueError(f"flat window attention: Bn={Bn} not a "
+                             f"multiple of nWh·nWw={nWh*nWw}")
+
+
 def _flat_fwd_kernel_factory(GL: int, hd: int, ws: int, shift: int,
                              nWh: int, nWw: int, mxu_bf16: bool):
     N = ws * ws
@@ -765,6 +795,7 @@ def pallas_window_attention_flat(qkv, bias, logit_scale, shift: int = 0,
     H = bias.shape[0]
     hd = C // H
     ws = int(np.sqrt(N))
+    _check_flat_geometry(Bn, N, C, H, ws, bias.shape, shift, nWh, nWw)
     GL = _lane_group(H, hd, C)
     NB = H // GL                                 # lane blocks per modality
 
@@ -874,6 +905,7 @@ def pallas_window_attention_flat_bwd(qkv, bias, logit_scale, g,
     H = bias.shape[0]
     hd = C // H
     ws = int(np.sqrt(N))
+    _check_flat_geometry(Bn, N, C, H, ws, bias.shape, shift, nWh, nWw)
     GL = _lane_group(H, hd, C)
     NB = H // GL
 

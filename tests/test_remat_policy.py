@@ -1,0 +1,88 @@
+"""Selective-remat policy: the bwd pass must NOT re-run the fwd attention
+kernel when ``save_attn_in_remat`` is on (VERDICT r2 item 2).
+
+Two angles:
+  * structural — count pallas_call equations in the jaxpr of the grad: full
+    remat re-runs the fwd kernel during bwd (3 kernel calls per block
+    call-site), the named-save policy drops the re-run (2);
+  * numerical — gradients under the policy match no-checkpoint gradients
+    exactly (remat must never change math), on the XLA (non-pallas) path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvuld_tpu.models.swin_v2 import SwinTransformerV2, SwinV2Config
+
+TINY = SwinV2Config(img_size=16, patch_size=4, embed_dim=16,
+                    depths=(2,), num_heads=(2,), window_size=4,
+                    pretrained_window_sizes=(0,), drop_path_rate=0.0)
+
+
+def _grad_fn(model, variables, x):
+    def loss(params, x):
+        out = model.apply({"params": params}, x, deterministic=True)
+        return jnp.sum(out ** 2)
+    return jax.jit(jax.grad(loss)).lower(variables["params"], x)
+
+
+def _count_pallas_calls(lowered) -> int:
+    txt = str(lowered.compiler_ir(dialect="stablehlo"))
+    return txt.count("tpu_custom_call") + txt.count("pallas_call")
+
+
+@pytest.mark.parametrize("scan_blocks", [False, True])
+def test_policy_drops_fwd_kernel_rerun(scan_blocks):
+    """Jaxpr-level: with the attn_out save policy the remat recompute no
+    longer contains the fwd attention kernel."""
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    counts = {}
+    for save in (False, True):
+        model = SwinTransformerV2(TINY, use_checkpoint=True,
+                                  scan_blocks=scan_blocks, use_pallas=True,
+                                  save_attn_in_remat=save)
+        variables = jax.eval_shape(lambda k: model.init(k, x),
+                                   jax.random.PRNGKey(0))
+        variables = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), variables)
+
+        def loss(params, x, model=model):
+            out = model.apply({"params": params}, x, deterministic=True)
+            return jnp.sum(out ** 2)
+
+        jaxpr = jax.make_jaxpr(jax.grad(loss))(variables["params"], x)
+        counts[save] = str(jaxpr).count("pallas_call")
+    # per block call-site: full remat = fwd + remat-rerun + bwd = 3;
+    # policy = fwd + bwd = 2. Ratio holds whatever the block count is.
+    assert counts[True] < counts[False], counts
+    assert counts[False] == 3 * counts[True] // 2, counts
+
+
+def test_policy_grads_match_no_checkpoint():
+    """Numerical: remat (with and without the save policy) is a pure
+    scheduling decision — grads must be bitwise-close to no-checkpoint."""
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 3),
+                    jnp.float32)
+    grads = {}
+    for name, kw in {
+        "plain": dict(use_checkpoint=False),
+        "full_remat": dict(use_checkpoint=True, save_attn_in_remat=False),
+        "policy": dict(use_checkpoint=True, save_attn_in_remat=True),
+    }.items():
+        model = SwinTransformerV2(TINY, scan_blocks=True, **kw)
+        variables = model.init(jax.random.PRNGKey(0), x)
+
+        def loss(params, model=model):
+            out = model.apply({"params": params}, x, deterministic=True)
+            return jnp.sum(out ** 2)
+
+        grads[name] = jax.grad(loss)(variables["params"])
+
+    flat_ref = jax.tree_util.tree_leaves(grads["plain"])
+    for other in ("full_remat", "policy"):
+        flat = jax.tree_util.tree_leaves(grads[other])
+        for a, b in zip(flat_ref, flat):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
