@@ -85,6 +85,57 @@ def rasterize_gt(quads: Sequence[np.ndarray], img_h: int, img_w: int,
     return score, geo, ignored_map
 
 
+def crop_with_text(img, quads: np.ndarray, length: int,
+                   rng: np.random.RandomState):
+    """Text-region-aware random square crop — the reference's active EAST
+    training augmentation (OCR/dataset.py crop_img:197-248, applied per
+    __getitem__ at :415; the height/rotate variants there are commented out
+    and intentionally not mirrored).
+
+    Semantics preserved: (1) bilinear-upscale so the short side ≥ ``length``
+    (quads scaled along); (2) choose the crop origin uniformly from the
+    range that keeps the FULL text extent inside the window when it fits
+    (otherwise the range degenerates toward covering as much as possible);
+    (3) shift quads into crop coordinates.
+
+    img: PIL Image; quads: [n, 4, 2] float pixels. Returns (PIL length²
+    crop, shifted quads [n, 4, 2]).
+    """
+    from PIL import Image
+
+    w, h = img.size
+    if h >= w and w < length:
+        img = img.resize((length, int(h * length / w)), Image.BILINEAR)
+    elif h < w and h < length:
+        img = img.resize((int(w * length / h), length), Image.BILINEAR)
+    ratio_w = img.width / w
+    ratio_h = img.height / h
+    quads = np.asarray(quads, np.float32).reshape(-1, 4, 2).copy()
+    quads[..., 0] *= ratio_w
+    quads[..., 1] *= ratio_h
+
+    remain_w = [0, img.width - length]
+    remain_h = [0, img.height - length]
+    if quads.size:
+        x_lo, x_hi = quads[..., 0].min(), quads[..., 0].max()
+        y_lo, y_hi = quads[..., 1].min(), quads[..., 1].max()
+        if x_hi > length:
+            remain_w[0] = x_hi - length
+        if x_lo < remain_w[1]:
+            remain_w[1] = x_lo
+        if y_hi > length:
+            remain_h[0] = y_hi - length
+        if y_lo < remain_h[1]:
+            remain_h[1] = y_lo
+    start_w = int(rng.rand() * (remain_w[1] - remain_w[0])) + int(remain_w[0])
+    start_h = int(rng.rand() * (remain_h[1] - remain_h[0])) + int(remain_h[0])
+    region = img.crop((start_w, start_h, start_w + length, start_h + length))
+    if quads.size:
+        quads[..., 0] -= start_w
+        quads[..., 1] -= start_h
+    return region, quads
+
+
 def gt_from_icdar(lines: List[str], img_h: int, img_w: int):
     quads, ignored = [], []
     for line in lines:

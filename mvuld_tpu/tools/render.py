@@ -43,11 +43,64 @@ _ROW_GAP = 26
 _MAX_LABEL = 48
 
 
-def _font():
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderStyle:
+    """Visual-style knobs for the renderer. ``DEFAULT_STYLE`` is the training
+    distribution; ``HELD_OUT_STYLE`` is a deliberately different look
+    (different font face/size, paddings, row spacing, rectangular nodes) used
+    ONLY for evaluation — a proxy for real Graphviz `dot` output, bounding
+    the detector/recognizer's dependence on its own training renderer
+    (VERDICT r2 missing item 3)."""
+
+    font_size: int = _FONT_SIZE
+    font_path: Optional[str] = None       # None → PIL default bitmap face
+    pad_x: int = _PAD_X
+    pad_y: int = _PAD_Y
+    row_gap: int = _ROW_GAP
+    indent: int = 40                      # per-AST-depth x stagger
+    margin_x: int = 30
+    node_shape: str = "ellipse"           # "ellipse" | "rect"
+    outline_width: int = 2
+
+    def font(self):
+        if self.font_path:
+            try:
+                return ImageFont.truetype(self.font_path, self.font_size)
+            except OSError:
+                pass
+        try:
+            return ImageFont.load_default(size=self.font_size)
+        except TypeError:    # very old Pillow
+            return ImageFont.load_default()
+
+
+DEFAULT_STYLE = RenderStyle()
+
+
+def _dejavu_path() -> Optional[str]:
+    """A genuinely different font FACE that ships with matplotlib (no
+    network); None when unavailable (style falls back to the default face
+    at its own size)."""
     try:
-        return ImageFont.load_default(size=_FONT_SIZE)
-    except TypeError:        # very old Pillow
-        return ImageFont.load_default()
+        import matplotlib
+        p = os.path.join(os.path.dirname(matplotlib.__file__), "mpl-data",
+                         "fonts", "ttf", "DejaVuSans.ttf")
+        return p if os.path.exists(p) else None
+    except ImportError:
+        return None
+
+
+HELD_OUT_STYLE = RenderStyle(font_size=17, font_path=_dejavu_path(),
+                             pad_x=8, pad_y=10, row_gap=16, indent=24,
+                             margin_x=52, node_shape="rect",
+                             outline_width=1)
+
+
+def _font(style: RenderStyle = DEFAULT_STYLE):
+    return style.font()
 
 
 def node_label(lineno: int, ntype: str, code: str) -> str:
@@ -57,7 +110,8 @@ def node_label(lineno: int, ntype: str, code: str) -> str:
     return base[:_MAX_LABEL]
 
 
-def layout(cpg: LineCPG) -> Dict[int, Tuple[int, int, int, int]]:
+def layout(cpg: LineCPG, style: RenderStyle = DEFAULT_STYLE
+           ) -> Dict[int, Tuple[int, int, int, int]]:
     """Deterministic layered layout: one rank per source line (code order is
     the natural hierarchy for line graphs), x staggered by AST depth so parent
     → child edges are visible as indentation, like ``dot``'s ranking."""
@@ -77,18 +131,18 @@ def layout(cpg: LineCPG) -> Dict[int, Tuple[int, int, int, int]]:
         for c in children.get(node, []):
             stack.append((c, d + 1))
 
-    font = _font()
+    font = _font(style)
     probe = ImageDraw.Draw(Image.new("RGB", (8, 8)))
     boxes: Dict[int, Tuple[int, int, int, int]] = {}
-    y = _ROW_GAP
+    y = style.row_gap
     for (lineno, code, ntype) in sorted(cpg.nodes):
         label = node_label(lineno, ntype, code)
         tb = probe.textbbox((0, 0), label, font=font)
-        w = tb[2] - tb[0] + 2 * _PAD_X
-        h = tb[3] - tb[1] + 2 * _PAD_Y + 6
-        x = 30 + depth.get(lineno, 0) * 40
+        w = tb[2] - tb[0] + 2 * style.pad_x
+        h = tb[3] - tb[1] + 2 * style.pad_y + 6
+        x = style.margin_x + depth.get(lineno, 0) * style.indent
         boxes[lineno] = (x, y, x + w, y + h)
-        y += h + _ROW_GAP
+        y += h + style.row_gap
     return boxes
 
 
@@ -116,6 +170,7 @@ def _arrow(draw, a, b, fill, width):
 
 
 def render_cpg(cpg: LineCPG, out_path: Optional[str] = None,
+               style: RenderStyle = DEFAULT_STYLE,
                ) -> Tuple[Image.Image, Dict[int, Tuple[float, float, float, float]]]:
     """Render a LineCPG to a PIL image.
 
@@ -123,15 +178,15 @@ def render_cpg(cpg: LineCPG, out_path: Optional[str] = None,
     (startX, startY, endX, endY) normalized by image width/height — the same
     format the reference's OCR stage produces (OCR/detect.py:285-353).
     """
-    boxes = layout(cpg)
+    boxes = layout(cpg, style)
     if not boxes:
         img = Image.new("RGB", (64, 64), "white")
         return img, {}
     W = max(b[2] for b in boxes.values()) + 160
-    H = max(b[3] for b in boxes.values()) + _ROW_GAP
+    H = max(b[3] for b in boxes.values()) + style.row_gap
     img = Image.new("RGB", (W, H), "white")
     draw = ImageDraw.Draw(img)
-    font = _font()
+    font = _font(style)
 
     def anchor(lineno, out_side: bool):
         x0, y0, x1, y1 = boxes[lineno]
@@ -167,10 +222,13 @@ def render_cpg(cpg: LineCPG, out_path: Optional[str] = None,
     norm_pos: Dict[int, Tuple[float, float, float, float]] = {}
     for (lineno, code, ntype) in cpg.nodes:
         x0, y0, x1, y1 = boxes[lineno]
-        draw.ellipse([x0 - _PAD_X, y0 - 3, x1 + _PAD_X, y1 + 3],
-                     fill="white", outline="black", width=2)
+        shape = (draw.ellipse if style.node_shape == "ellipse"
+                 else draw.rectangle)
+        shape([x0 - style.pad_x, y0 - 3, x1 + style.pad_x, y1 + 3],
+              fill="white", outline="black", width=style.outline_width)
         label = node_label(lineno, ntype, code)
-        draw.text((x0 + _PAD_X, y0 + _PAD_Y), label, fill="black", font=font)
+        draw.text((x0 + style.pad_x, y0 + style.pad_y), label, fill="black",
+                  font=font)
         norm_pos[lineno] = (x0 / W, y0 / H, x1 / W, y1 / H)
 
     if out_path:

@@ -129,6 +129,12 @@ def build_fusion_cache(df, cache_dir: str, cfg, *, text_encoder=None,
             "node_mask": np.zeros((n, M), np.float32),
             "lineno": np.zeros((n, M), np.int32),
             "ntype": np.zeros((n, M), np.int32),
+            # per-node token ids — the reference's tokenized graph-cache
+            # variant (item1, data_list.py:235-263: unixcoder tokenize at
+            # max_length=64 → g.ndata["_token_ids"]); lets the staged
+            # trainer feed raw token ids to an in-graph text encoder
+            # instead of precomputed node embeddings
+            "token_ids": np.zeros((n, M, cfg.DATA.NODE_TOKENS), np.int32),
             "label": rows.vul.to_numpy().astype(np.int32),
             "ids": rows._id.to_numpy().astype(np.int64),
         }
@@ -149,17 +155,19 @@ def build_fusion_cache(df, cache_dir: str, cfg, *, text_encoder=None,
             arrs["lineno"][i] = pg.lineno
             arrs["ntype"][i] = pg.ntype
 
-        if text_encoder is not None and tokenizer is not None:
-            # whole-function embeddings (cunixcoder result.pkl equivalent),
-            # batched encoder dispatches
-            for lo in range(0, n, encode_batch):
-                chunk = funcs[lo:lo + encode_batch]
-                fids = tokenizer.tokenize(chunk,
-                                          max_length=cfg.DATA.FUNC_TOKENS)
-                arrs["text_emb"][lo:lo + len(chunk)] = np.asarray(
-                    text_encoder(fids))
-            # per-line node embeddings (myEncode, data_list.py:292-299):
-            # flatten all (row, node) lines, encode in chunks, scatter back
+        if tokenizer is not None:
+            if text_encoder is not None:
+                # whole-function embeddings (cunixcoder result.pkl
+                # equivalent), batched encoder dispatches
+                for lo in range(0, n, encode_batch):
+                    chunk = funcs[lo:lo + encode_batch]
+                    fids = tokenizer.tokenize(chunk,
+                                              max_length=cfg.DATA.FUNC_TOKENS)
+                    arrs["text_emb"][lo:lo + len(chunk)] = np.asarray(
+                        text_encoder(fids))
+            # per-line node tokenization + embeddings (myEncode,
+            # data_list.py:292-299; token ids: item1, :235-263): flatten all
+            # (row, node) lines, process in chunks, scatter back
             flat_lines, flat_idx = [], []
             for i, pg in enumerate(packed):
                 if pg is None:
@@ -171,11 +179,14 @@ def build_fusion_cache(df, cache_dir: str, cfg, *, text_encoder=None,
                     flat_idx.append((i, j))
             for lo in range(0, len(flat_lines), encode_batch):
                 chunk = flat_lines[lo:lo + encode_batch]
-                nids = tokenizer.tokenize(chunk,
-                                          max_length=cfg.DATA.NODE_TOKENS)
-                emb = np.asarray(text_encoder(nids))
+                nids = np.asarray(tokenizer.tokenize(
+                    chunk, max_length=cfg.DATA.NODE_TOKENS))
+                emb = (np.asarray(text_encoder(nids))
+                       if text_encoder is not None else None)
                 for k, (i, j) in enumerate(flat_idx[lo:lo + len(chunk)]):
-                    arrs["node_emb"][i, j] = emb[k]
+                    arrs["token_ids"][i, j] = nids[k]
+                    if emb is not None:
+                        arrs["node_emb"][i, j] = emb[k]
 
         if swin_encoder is not None:
             ids = rows._id.tolist()

@@ -113,11 +113,15 @@ def build_ivdetect_features(df, emb, max_nodes: int):
                       if t not in C_KEYWORDS and t.isidentifier()]
             types = [t for t in tokenize_code(text) if t in TYPE_KEYWORDS]
             fill("nametype", i, " ".join(idents + types))
+            # ALL dependent statements concatenated (the reference joins the
+            # full dependency line set, ivdetect/dataset.py:122-301; the
+            # token sequence is then capped at SEQ_LEN inside fill(), which
+            # mirrors its GRU input truncation)
             fill("data", i, " ".join(
-                lines[d - 1] for d in deps["data"].get(ln, [])[:3]
+                lines[d - 1] for d in deps["data"].get(ln, [])
                 if 1 <= d <= len(lines)))
             fill("control", i, " ".join(
-                lines[d - 1] for d in deps["control"].get(ln, [])[:3]
+                lines[d - 1] for d in deps["control"].get(ln, [])
                 if 1 <= d <= len(lines)))
         items.append({
             "pg": pg, "chan": chan, "cmask": cmask, "label": int(row.vul),

@@ -1,14 +1,23 @@
 """EAST detector training + norm-pos extraction — the OCR/ pipeline.
 
-Mirrors OCR/train.py (Adam 1e-3, step decay at half epochs) and OCR/eval.py
-(run detection over rendered graph images → norm_pos_dict pickles). Training
-data comes straight from the renderer: every rendered CPG PNG ships exact
-node-label boxes (ICDAR-format gt), so the detector trains without any manual
-annotation.
+Mirrors OCR/train.py (Adam 1e-3, step decay at half epochs) with the
+reference's ACTIVE data augmentation: per-step text-region-aware random
+crops (OCR/dataset.py crop_img:197-248, applied in __getitem__ at :415)
+plus ColorJitter(0.5, 0.5, 0.5) (:416) — gt score/geo maps are rasterized
+AFTER the crop, exactly like get_score_geo on the cropped region. The
+height-adjust/rotate augmentations are commented out in the reference
+(:413-414) and intentionally not mirrored.
+
+Training data comes straight from the renderer: every rendered CPG PNG
+ships exact node-label boxes (ICDAR-format gt), so the detector trains
+without manual annotation. ``--eval-style heldout`` additionally renders an
+eval corpus in a DIFFERENT visual style (other font face/size, spacing,
+rectangular nodes — tools/render.py HELD_OUT_STYLE) as a proxy for real
+Graphviz output and reports ICDAR H-mean on it.
 
 Usage:
   python -m mvuld_tpu.train.train_east --synthetic N [--img-size 256]
-      [--epochs 20] [--out-dir runs/east] [--eval-only --ckpt ...]
+      [--epochs 20] [--no-crop] [--eval-synthetic M --eval-style heldout]
 """
 
 from __future__ import annotations
@@ -19,27 +28,33 @@ from typing import List, Tuple
 
 import numpy as np
 
+MAX_QUADS = 64          # per-image quad padding in the canvas cache
 
-def build_east_corpus(n_funcs: int, img_size: int, seed: int, cache: str,
-                      logger=None) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, List[str]]:
-    """Render synthetic CPGs; produce (images, score, geo, ignored, paths).
-    Images are resized to img_size² with gt boxes scaled accordingly."""
+
+def build_east_corpus(n_funcs: int, canvas_size: int, seed: int, cache: str,
+                      logger=None, style=None, tag: str = "default"
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[str]]:
+    """Render synthetic CPGs to fixed canvases WITHOUT rasterizing gt.
+
+    Returns (images [n, S, S, 3] uint8, quads [n, MAX_QUADS, 4, 2] px,
+    nquads [n], paths). gt maps are rasterized per training step, after the
+    crop augmentation (reference order: crop, then get_score_geo).
+    """
     from PIL import Image
 
-    from mvuld_tpu.ocr.gt import rasterize_gt
     from mvuld_tpu.tools.cpg import extract_line_cpg
-    from mvuld_tpu.tools.render import layout, render_cpg
+    from mvuld_tpu.tools.render import DEFAULT_STYLE, layout, render_cpg
     from mvuld_tpu.tools.synthetic import generate_dataset
 
+    style = style or DEFAULT_STYLE
     os.makedirs(cache, exist_ok=True)
-    npz = os.path.join(cache, f"east_{n_funcs}_{img_size}.npz")
-    paths: List[str] = []
+    npz = os.path.join(cache, f"east_canvas_{n_funcs}_{canvas_size}_{tag}.npz")
     if os.path.exists(npz):
         z = np.load(npz)
-        return z["images"], z["score"], z["geo"], z["ignored"], []
+        return z["images"], z["quads"], z["nquads"], []
 
     df = generate_dataset(n_funcs, seed=seed)
-    images, scores, geos, igns = [], [], [], []
+    images, quads_all, nquads, paths = [], [], [], []
     for _, row in df.iterrows():
         cpg = extract_line_cpg(row.func_before)
         if cpg is None:
@@ -47,39 +62,120 @@ def build_east_corpus(n_funcs: int, img_size: int, seed: int, cache: str,
         g = cpg.filtered("all")
         if len(g.nodes) < 2:
             continue
-        img_path = os.path.join(cache, f"{int(row._id)}.png")
-        img, _pos = render_cpg(g, out_path=img_path)
-        boxes_px = layout(g)
+        img_path = os.path.join(cache, f"{tag}_{int(row._id)}.png")
+        img, _pos = render_cpg(g, out_path=img_path, style=style)
+        boxes_px = layout(g, style)
         W, H = img.size
-        sx, sy = img_size / W, img_size / H
-        quads = []
-        for (x0, y0, x1, y1) in boxes_px.values():
-            quads.append(np.array([[x0 * sx, y0 * sy], [x1 * sx, y0 * sy],
-                                   [x1 * sx, y1 * sy], [x0 * sx, y1 * sy]],
-                                  np.float32))
-        img_r = img.resize((img_size, img_size), Image.BILINEAR)
-        x = (np.asarray(img_r, np.float32) / 255.0 - 0.5) / 0.5
-        score, geo, ign = rasterize_gt(quads, img_size, img_size)
-        images.append(x)
-        scores.append(score)
-        geos.append(geo)
-        igns.append(ign)
+        sx, sy = canvas_size / W, canvas_size / H
+        q = np.zeros((MAX_QUADS, 4, 2), np.float32)
+        n_q = min(len(boxes_px), MAX_QUADS)
+        for k, (x0, y0, x1, y1) in enumerate(list(boxes_px.values())[:MAX_QUADS]):
+            q[k] = [[x0 * sx, y0 * sy], [x1 * sx, y0 * sy],
+                    [x1 * sx, y1 * sy], [x0 * sx, y1 * sy]]
+        img_r = img.resize((canvas_size, canvas_size), Image.BILINEAR)
+        images.append(np.asarray(img_r, np.uint8))
+        quads_all.append(q)
+        nquads.append(n_q)
         paths.append(img_path)
-    arrs = (np.stack(images), np.stack(scores), np.stack(geos), np.stack(igns))
-    np.savez_compressed(npz, images=arrs[0], score=arrs[1], geo=arrs[2],
-                        ignored=arrs[3])
+    arrs = (np.stack(images), np.stack(quads_all),
+            np.asarray(nquads, np.int32))
+    np.savez_compressed(npz, images=arrs[0], quads=arrs[1], nquads=arrs[2])
     if logger:
-        logger.info(f"built EAST corpus: {arrs[0].shape[0]} images")
+        logger.info(f"built EAST canvas corpus ({tag}): "
+                    f"{arrs[0].shape[0]} images of {canvas_size}²")
     return (*arrs, paths)
+
+
+def _normalize(img_np: np.ndarray) -> np.ndarray:
+    """uint8 → the reference's Normalize(mean=.5, std=.5) float input."""
+    return (img_np.astype(np.float32) / 255.0 - 0.5) / 0.5
+
+
+def make_batch(images: np.ndarray, quads: np.ndarray, nquads: np.ndarray,
+               idx: np.ndarray, img_size: int, rng: np.random.RandomState,
+               crop: bool = True) -> dict:
+    """Host-side batch assembly: crop (or plain resize), jitter, rasterize.
+    Runs on the host per step — the TPU sees only fixed [B, L, L, 3]."""
+    from PIL import Image
+
+    from mvuld_tpu.data.transforms import color_jitter
+    from mvuld_tpu.ocr.gt import crop_with_text, rasterize_gt
+
+    xs, ss, gs, igs = [], [], [], []
+    for i in idx:
+        img = Image.fromarray(images[i])
+        q = quads[i, : nquads[i]]
+        if crop:
+            img, q = crop_with_text(img, q, img_size, rng)
+            img = color_jitter(img, rng, strength=0.5)
+        elif img.size != (img_size, img_size):
+            sx = img_size / img.width
+            sy = img_size / img.height
+            img = img.resize((img_size, img_size), Image.BILINEAR)
+            q = q.copy()
+            q[..., 0] *= sx
+            q[..., 1] *= sy
+        score, geo, ign = rasterize_gt(list(q), img_size, img_size)
+        xs.append(_normalize(np.asarray(img)))
+        ss.append(score)
+        gs.append(geo)
+        igs.append(ign)
+    return {"image": np.stack(xs), "score": np.stack(ss),
+            "geo": np.stack(gs), "ignored": np.stack(igs)}
+
+
+def evaluate_hmean(model, params, batch_stats, images, quads, nquads,
+                   img_size: int, batch_size: int = 8) -> dict:
+    """ICDAR IoU-0.5 H-mean of the detector on a canvas corpus (resized to
+    the model input size; quads scaled along)."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from mvuld_tpu.ocr.detect import get_boxes
+    from mvuld_tpu.ocr.icdar_eval import evaluate_dataset, evaluate_detections
+
+    per_image = []
+    n = images.shape[0]
+    for lo in range(0, n, batch_size):
+        idx = np.arange(lo, min(lo + batch_size, n))
+        xs, gts = [], []
+        for i in idx:
+            img = Image.fromarray(images[i])
+            sx, sy = img_size / img.width, img_size / img.height
+            q = quads[i, : nquads[i]].copy()
+            q[..., 0] *= sx
+            q[..., 1] *= sy
+            xs.append(_normalize(np.asarray(
+                img.resize((img_size, img_size), Image.BILINEAR))))
+            gts.append(q)
+        score, geo = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            jnp.asarray(np.stack(xs)), train=False)
+        score, geo = np.asarray(score), np.asarray(geo)
+        for k in range(len(idx)):
+            boxes = get_boxes(score[k], geo[k])
+            det = ([] if boxes is None
+                   else [b[:8].reshape(4, 2) for b in boxes])
+            per_image.append(evaluate_detections(
+                list(gts[k]), [False] * len(gts[k]), det))
+    return evaluate_dataset(per_image)
 
 
 def main(argv=None) -> dict:
     parser = argparse.ArgumentParser()
     parser.add_argument("--synthetic", type=int, default=100)
     parser.add_argument("--img-size", type=int, default=256)
+    parser.add_argument("--canvas-scale", type=float, default=1.5,
+                        help="canvas side = scale · img-size (crop source)")
     parser.add_argument("--epochs", type=int, default=20)
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--no-crop", action="store_true",
+                        help="disable the reference crop augmentation")
+    parser.add_argument("--eval-synthetic", type=int, default=0,
+                        help="render M extra functions for detection eval")
+    parser.add_argument("--eval-style", choices=["default", "heldout"],
+                        default="default")
     parser.add_argument("--out-dir", default="runs/east")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
@@ -93,11 +189,14 @@ def main(argv=None) -> dict:
     from mvuld_tpu.ocr.east import EAST, east_loss
 
     logger = create_logger(args.out_dir)
-    images, score_gt, geo_gt, ignored, _ = build_east_corpus(
-        args.synthetic, args.img_size, args.seed,
+    crop = not args.no_crop
+    canvas = int(args.img_size * args.canvas_scale) if crop else args.img_size
+    images, quads, nquads, _ = build_east_corpus(
+        args.synthetic, canvas, args.seed,
         os.path.join(args.out_dir, "corpus"), logger)
     n = images.shape[0]
-    logger.info(f"EAST corpus: {n} images of {args.img_size}²")
+    logger.info(f"EAST corpus: {n} canvases of {canvas}², "
+                f"crop={'on' if crop else 'off'} → {args.img_size}²")
 
     model = EAST()
     rng = jax.random.PRNGKey(args.seed)
@@ -131,12 +230,13 @@ def main(argv=None) -> dict:
     for epoch in range(args.epochs):
         order = rng_np.permutation(n)
         epoch_loss = []
-        for b in range(n // args.batch_size):
+        for b in range(max(n // args.batch_size, 1)):
             idx = order[b * args.batch_size:(b + 1) * args.batch_size]
-            batch = {"image": jnp.asarray(images[idx]),
-                     "score": jnp.asarray(score_gt[idx]),
-                     "geo": jnp.asarray(geo_gt[idx]),
-                     "ignored": jnp.asarray(ignored[idx])}
+            if len(idx) == 0:
+                continue
+            host = make_batch(images, quads, nquads, idx, args.img_size,
+                              rng_np, crop=crop)
+            batch = {k: jnp.asarray(v) for k, v in host.items()}
             params, batch_stats, opt_state, loss = train_step(
                 params, batch_stats, opt_state, batch)
             epoch_loss.append(float(loss))
@@ -146,8 +246,22 @@ def main(argv=None) -> dict:
     save_checkpoint(args.out_dir, args.epochs,
                     {"params": jax.device_get(params),
                      "batch_stats": jax.device_get(batch_stats)})
-    return {"params": params, "batch_stats": batch_stats,
-            "losses": step_losses, "model": model}
+    result = {"params": params, "batch_stats": batch_stats,
+              "losses": step_losses, "model": model}
+
+    if args.eval_synthetic:
+        from mvuld_tpu.tools.render import DEFAULT_STYLE, HELD_OUT_STYLE
+        style = (HELD_OUT_STYLE if args.eval_style == "heldout"
+                 else DEFAULT_STYLE)
+        ev_imgs, ev_quads, ev_nq, _ = build_east_corpus(
+            args.eval_synthetic, canvas, args.seed + 10_000,
+            os.path.join(args.out_dir, "corpus"), logger, style=style,
+            tag=args.eval_style)
+        metrics = evaluate_hmean(model, params, batch_stats, ev_imgs,
+                                 ev_quads, ev_nq, args.img_size)
+        logger.info(f"detection eval ({args.eval_style} style): {metrics}")
+        result["eval"] = metrics
+    return result
 
 
 if __name__ == "__main__":

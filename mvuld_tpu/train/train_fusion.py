@@ -27,12 +27,17 @@ def load_cached_datasets(cache_paths):
     for part, path in cache_paths.items():
         z = np.load(path)
         # ids stay host-side (int64 upsets the x64-disabled device path)
-        out[part] = ArrayDataset({
+        cols = {
             "img_emb": z["img_emb"], "text_emb": z["text_emb"],
             "node_emb": z["node_emb"], "pos": z["pos"], "adj": z["adj"],
             "node_mask": z["node_mask"], "ntype": z["ntype"],
             "label": z["label"],
-        })
+        }
+        # tokenized-node variant (reference item1 caches): present in caches
+        # written by precompute ≥ r3; older caches simply lack the column
+        if "token_ids" in z:
+            cols["token_ids"] = z["token_ids"]
+        out[part] = ArrayDataset(cols)
     return out
 
 
