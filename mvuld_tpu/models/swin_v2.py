@@ -36,6 +36,20 @@ from jax.ad_checkpoint import checkpoint_name
 
 
 @dataclasses.dataclass(frozen=True)
+class PallasOpts:
+    """How the fused window-attention kernel runs.
+
+    ``sp_mesh``/``sp_axis``: shard the window axis over this mesh axis
+    (sequence parallelism — ops/window_attention.py
+    window_attention_flat_sharded). ``interpret``: run the kernel in Pallas
+    interpret mode (CPU tests / the driver's virtual-device dryrun)."""
+
+    sp_mesh: Any = None
+    sp_axis: Optional[str] = None
+    interpret: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
 class SwinV2Config:
     img_size: int = 448
     patch_size: int = 4
@@ -254,6 +268,7 @@ class WindowAttentionV2(nn.Module):
     pretrained_window_size: int = 0
     dtype: Any = jnp.float32
     use_pallas: bool = False   # fused Pallas kernel (TPU) for the attention core
+    pallas_opts: Optional[PallasOpts] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[np.ndarray] = None,
@@ -308,14 +323,22 @@ class WindowAttentionV2(nn.Module):
             # model-dtype in / fp32 out — both casts fuse into the GEMMs.
             # mxu_bf16=False: measured SLOWER on v5e — the kernel is
             # VPU-bound (softmax chain), and the bf16 casts add VPU passes
-            from mvuld_tpu.ops.window_attention import window_attention_flat
+            from mvuld_tpu.ops.window_attention import (
+                window_attention_flat, window_attention_flat_sharded)
             xw = window_partition(x_, ws)                 # [Bn, N, C]
             qkv = xw @ qkv_w.astype(self.dtype)           # [Bn, N, 3C]
             if qkv_b is not None:
                 qkv = qkv + qkv_b.astype(self.dtype)
-            out = window_attention_flat(qkv, bias, scale.reshape(H),
-                                        shift=shift, nWh=Hp // ws,
-                                        nWw=Wp // ws)     # [Bn, N, C] fp32
+            po = self.pallas_opts or PallasOpts()
+            if po.sp_mesh is not None and po.sp_axis:
+                out = window_attention_flat_sharded(
+                    qkv, bias, scale.reshape(H), shift=shift, nWh=Hp // ws,
+                    nWw=Wp // ws, mesh=po.sp_mesh, axis=po.sp_axis,
+                    interpret=po.interpret)               # [Bn, N, C] fp32
+            else:
+                out = window_attention_flat(
+                    qkv, bias, scale.reshape(H), shift=shift, nWh=Hp // ws,
+                    nWw=Wp // ws, interpret=po.interpret) # [Bn, N, C] fp32
             out = window_reverse(out.astype(self.dtype), ws, Hp, Wp)
         else:
             qkv = x_ @ qkv_w.astype(self.dtype)           # [B, Hp, Wp, 3C]
@@ -375,6 +398,7 @@ class SwinBlockV2(nn.Module):
     pretrained_window_size: int = 0
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    pallas_opts: Optional[PallasOpts] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
@@ -396,6 +420,7 @@ class SwinBlockV2(nn.Module):
             self.dim, window, self.num_heads, self.qkv_bias,
             self.attn_drop, self.drop, self.pretrained_window_size,
             dtype=self.dtype, use_pallas=self.use_pallas,
+            pallas_opts=self.pallas_opts,
             name="attn")(x, mask, deterministic, shift=shift)  # [B, Hr, Wr, C]
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
@@ -429,6 +454,7 @@ class BlockPair(nn.Module):
     pretrained_window_size: int = 0
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    pallas_opts: Optional[PallasOpts] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, dp_rates: jnp.ndarray,
@@ -438,7 +464,8 @@ class BlockPair(nn.Module):
                       mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                       drop=self.drop, attn_drop=self.attn_drop,
                       pretrained_window_size=self.pretrained_window_size,
-                      dtype=self.dtype, use_pallas=self.use_pallas)
+                      dtype=self.dtype, use_pallas=self.use_pallas,
+                      pallas_opts=self.pallas_opts)
         x = SwinBlockV2(**common, shift_size=0, name="block0")(
             x, deterministic, drop_path_rate=dp_rates[0])
         x = SwinBlockV2(**common, shift_size=self.window_size // 2,
@@ -496,6 +523,7 @@ class SwinTransformerV2(nn.Module):
     use_checkpoint: bool = False
     scan_blocks: bool = False   # lax.scan over block pairs (fast compile)
     use_pallas: bool = False    # fused Pallas window-attention kernel (TPU)
+    pallas_opts: Optional[PallasOpts] = None  # sequence-parallel / interpret
     # remat policy: save the named attention outputs so the bwd pass never
     # re-runs the fwd attention kernel (trades ~1.6 GB HBM at bs64 for the
     # dominant recompute — measured 538 ms of a 1068 ms bs64 step was
@@ -553,6 +581,7 @@ class SwinTransformerV2(nn.Module):
                     attn_drop=c.attn_drop_rate,
                     pretrained_window_size=c.pretrained_window_sizes[i_layer],
                     dtype=c.dtype, use_pallas=self.use_pallas,
+                    pallas_opts=self.pallas_opts,
                     name=f"layers_{i_layer}_scan")
                 x, _ = scanned(x, rates, deterministic)
                 block_idx += depth
@@ -567,6 +596,7 @@ class SwinTransformerV2(nn.Module):
                         drop_path=float(dpr[block_idx]),
                         pretrained_window_size=c.pretrained_window_sizes[i_layer],
                         dtype=c.dtype, use_pallas=self.use_pallas,
+                        pallas_opts=self.pallas_opts,
                         name=f"layers_{i_layer}_blocks_{i_block}")(x, deterministic)
                     block_idx += 1
             if i_layer < len(c.depths) - 1:

@@ -964,11 +964,13 @@ def window_attention_flat_reference(qkv, bias, logit_scale,
 
 @functools.lru_cache(maxsize=None)
 def make_window_attention_flat(shift: int, nWh: int, nWw: int,
-                               mxu_bf16: bool = False):
+                               mxu_bf16: bool = False,
+                               interpret: bool = False):
     @jax.custom_vjp
     def attn(qkv, bias, logit_scale):
         return pallas_window_attention_flat(qkv, bias, logit_scale, shift,
-                                            nWh, nWw, mxu_bf16=mxu_bf16)
+                                            nWh, nWw, mxu_bf16=mxu_bf16,
+                                            interpret=interpret)
 
     def fwd(qkv, bias, logit_scale):
         return attn(qkv, bias, logit_scale), (qkv, bias, logit_scale)
@@ -976,7 +978,8 @@ def make_window_attention_flat(shift: int, nWh: int, nWw: int,
     def bwd(res, g):
         qkv, bias, logit_scale = res
         dq, dk, dv, dbias, dscale = pallas_window_attention_flat_bwd(
-            qkv, bias, logit_scale, g, shift, nWh, nWw, mxu_bf16=mxu_bf16)
+            qkv, bias, logit_scale, g, shift, nWh, nWw, mxu_bf16=mxu_bf16,
+            interpret=interpret)
         dqkv = jnp.concatenate([dq, dk, dv], axis=-1).astype(qkv.dtype)
         return dqkv, dbias, dscale.astype(jnp.asarray(logit_scale).dtype)
 
@@ -986,8 +989,55 @@ def make_window_attention_flat(shift: int, nWh: int, nWw: int,
 
 def window_attention_flat(qkv, bias, logit_scale, shift: int = 0,
                           nWh: int = 1, nWw: int = 1,
-                          mxu_bf16: bool = False):
+                          mxu_bf16: bool = False, interpret: bool = False):
     """Flat-layout fused window attention with autodiff (static shift and
     window grid). The production kernel — see the design note above."""
-    return make_window_attention_flat(shift, nWh, nWw, mxu_bf16)(
+    return make_window_attention_flat(shift, nWh, nWw, mxu_bf16, interpret)(
         qkv, bias, logit_scale)
+
+
+def window_attention_flat_sharded(qkv, bias, logit_scale, shift: int,
+                                  nWh: int, nWw: int, mesh, axis: str,
+                                  mxu_bf16: bool = False,
+                                  interpret: bool = False):
+    """Sequence-parallel flat window attention: the window axis (Bn) is
+    sharded over a mesh axis via shard_map, each device running the fused
+    kernel on its own windows — a capability the reference's
+    single-GPU-window-loop design cannot express (SURVEY §5 long-context
+    note). Windows are fully independent along Bn, so the forward needs NO
+    collectives; the backward all-reduces only the tiny dbias [H, N, N] and
+    dscale [H] partial sums (shard_map inserts the psum when transposing
+    the replicated-in specs).
+
+    Requires the per-device shard to hold whole images' window sets
+    (B % axis_size == 0) so the in-kernel window-id → boundary-mask mapping
+    (b % nW) stays correct on every shard.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map  # jax ≥ 0.7 style
+        def smap(f, in_specs, out_specs):
+            return shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _sm
+        def smap(f, in_specs, out_specs):
+            return _sm(f, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_rep=False)
+
+    Bn = qkv.shape[0]
+    nW = max(nWh * nWw, 1)
+    k = mesh.shape[axis]
+    if (Bn // nW) % k != 0:
+        raise ValueError(
+            f"sequence-parallel window attention: batch {Bn//nW} (Bn={Bn}, "
+            f"nW={nW}) must divide the '{axis}' axis size {k}")
+
+    def per_shard(q, b, s):
+        return window_attention_flat(q, b, s, shift, nWh, nWw,
+                                     mxu_bf16=mxu_bf16, interpret=interpret)
+
+    return smap(per_shard,
+                in_specs=(P(axis), P(), P()),
+                out_specs=P(axis))(qkv, bias, logit_scale)
