@@ -329,6 +329,10 @@ class WindowAttentionV2(nn.Module):
             qkv = xw @ qkv_w.astype(self.dtype)           # [Bn, N, 3C]
             if qkv_b is not None:
                 qkv = qkv + qkv_b.astype(self.dtype)
+            # optionally name the qkv projection for the remat policy too:
+            # saving it (~4.8 GB bf16 at bs64) removes the qkv-GEMM recompute
+            # from the backward pass on top of the attn_out save
+            qkv = checkpoint_name(qkv, "qkv")
             po = self.pallas_opts or PallasOpts()
             if po.sp_mesh is not None and po.sp_axis:
                 out = window_attention_flat_sharded(
@@ -530,6 +534,10 @@ class SwinTransformerV2(nn.Module):
     # attention custom-calls, ~half of it the remat re-run). False = full
     # recompute (round-2 behavior, lowest memory).
     save_attn_in_remat: bool = True
+    # additionally save the qkv projections (~4.8 GB bf16 at bs64): the bwd
+    # kernel's residuals then come straight from HBM instead of re-running
+    # the qkv GEMM + partition copy. Off by default (memory).
+    save_qkv_in_remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
@@ -549,9 +557,12 @@ class SwinTransformerV2(nn.Module):
         dpr = np.linspace(0, c.drop_path_rate, sum(c.depths)).tolist()
         # activation remat per block (reference: TRAIN.USE_CHECKPOINT →
         # torch.utils.checkpoint, swin_transformer_v2.py:427-431)
+        saved_names = (["attn_out"] if self.save_attn_in_remat else [])
+        if self.save_qkv_in_remat:
+            saved_names.append("qkv")
         remat_policy = (
-            jax.checkpoint_policies.save_only_these_names("attn_out")
-            if self.save_attn_in_remat else None)
+            jax.checkpoint_policies.save_only_these_names(*saved_names)
+            if saved_names else None)
         block_cls = (nn.remat(SwinBlockV2, static_argnums=(2,),
                               policy=remat_policy)
                      if self.use_checkpoint else SwinBlockV2)

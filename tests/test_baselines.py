@@ -21,6 +21,7 @@ def _graph(seed=0):
     return feats, adj_e, node_mask
 
 
+@pytest.mark.slow
 def test_devign_forward():
     feats, adj_e, mask = _graph()
     m = DevignModel(input_dim=F, output_dim=48, num_steps=3, n_etypes=3)
@@ -107,6 +108,7 @@ def test_treelstm_child_sum():
     assert np.abs(h1[0, 2] - h0[0, 2]).max() > 1e-6
 
 
+@pytest.mark.slow
 def test_ivdetect_forward():
     rng = np.random.RandomState(0)
     Bn, Nn, L, D = 2, 6, 5, 8

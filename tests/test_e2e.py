@@ -11,6 +11,8 @@ from mvuld_tpu.models.e2e import EndToEndMVulD
 from mvuld_tpu.models.roberta import RobertaConfig
 from mvuld_tpu.models.swin_v2 import SwinV2Config
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the -m 'not slow' quick lane
+
 TEXT = RobertaConfig(vocab_size=200, hidden_size=32, num_layers=1, num_heads=2,
                      intermediate_size=64, max_position_embeddings=128,
                      dropout_rate=0.0)

@@ -75,6 +75,7 @@ def test_held_out_style_renders_differently():
     assert any(la[k] != lb[k] for k in la)
 
 
+@pytest.mark.slow
 def test_train_with_crop_and_heldout_eval(tmp_path):
     """End-to-end slice: crop-augmented training runs and the held-out-style
     H-mean evaluation produces finite metrics (quality thresholds belong to

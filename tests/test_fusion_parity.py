@@ -26,6 +26,8 @@ from mvuld_tpu.config import default_config
 from mvuld_tpu.models.fusion_convert import fusion_torch_to_flax
 from mvuld_tpu.models.fusion_zoo import build_fusion_model
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the -m 'not slow' quick lane
+
 REF_MODELS = "/root/reference/mvuld/models"
 REF_ROOT = "/root/reference/mvuld"
 

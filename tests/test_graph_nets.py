@@ -140,6 +140,7 @@ ALL_ARCHS = [
 
 
 @pytest.mark.parametrize("arch", ALL_ARCHS)
+@pytest.mark.slow
 def test_fusion_zoo_forward_and_grad(arch):
     cfg = default_config()
     model = build_fusion_model(cfg, arch=arch)

@@ -43,6 +43,7 @@ def test_run_joern_gates_on_missing_binary(tmp_path):
     assert run_joern(str(c), joern_bin="definitely_not_joern") is False
 
 
+@pytest.mark.slow
 def test_swin_train_step_on_dp_mp_mesh():
     """SwinV2 train step on a 4×2 (dp×mp) mesh — params replicated, batch on
     dp; validates that a nontrivial second axis doesn't break the step."""

@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
 def test_bilinear_fusion_zoo():
     from mvuld_tpu.models.bilinear_fusion import BILINEAR_FUSIONS, build_bilinear_fusion
     rng = np.random.RandomState(0)
@@ -95,6 +96,7 @@ def test_icdar_eval():
     assert agg["hmean"] == pytest.approx(0.5)
 
 
+@pytest.mark.slow
 def test_unixcoder_lm_generate():
     from mvuld_tpu.models.roberta import RobertaConfig
     from mvuld_tpu.models.unixcoder import UniXcoderLM, beam_search_generate

@@ -11,6 +11,7 @@ from mvuld_tpu.models.moe import MoEFFN
 from mvuld_tpu.parallel.mesh import make_mesh
 
 
+@pytest.mark.slow
 def test_moe_expert_sharded_forward():
     mesh = make_mesh(dp=2, mp=4)
     m = MoEFFN(hidden=32, out=16, num_experts=4, top_k=1, capacity_factor=2.0)

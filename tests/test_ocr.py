@@ -12,6 +12,7 @@ from mvuld_tpu.ocr.recognize import (GlyphRecognizer, LinenoReader,
                                       lineno_from_text)
 
 
+@pytest.mark.slow
 def test_east_shapes():
     model = EAST()
     x = jnp.zeros((1, 64, 64, 3))

@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the -m 'not slow' quick lane
+
 
 def test_full_pipeline(tmp_path):
     from mvuld_tpu.train.pipeline import main

@@ -79,6 +79,7 @@ def _flax_cfg():
 
 
 @pytest.mark.parametrize("layout", ["bare", "defect_model", "data_parallel"])
+@pytest.mark.slow
 def test_load_unixcoder_checkpoint_layouts(tiny_hf_roberta, layout, tmp_path):
     """All released checkpoint layouts convert: bare RobertaModel
     (unixcoder-base-nine), cunixcoder DefectModel (encoder.* + classifier),

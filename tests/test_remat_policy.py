@@ -60,6 +60,7 @@ def test_policy_drops_fwd_kernel_rerun(scan_blocks):
     assert counts[False] == 3 * counts[True] // 2, counts
 
 
+@pytest.mark.slow
 def test_policy_grads_match_no_checkpoint():
     """Numerical: remat (with and without the save policy) is a pure
     scheduling decision — grads must be bitwise-close to no-checkpoint."""

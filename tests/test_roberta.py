@@ -26,6 +26,7 @@ def test_position_ids_skip_pad():
     np.testing.assert_array_equal(np.asarray(pos), [[2, 3, 1, 1], [1, 2, 3, 1]])
 
 
+@pytest.mark.slow
 def test_encoder_shapes_and_pad_invariance():
     ids = _ids()
     model = RobertaEncoder(TINY)
@@ -89,6 +90,7 @@ def test_parity_with_hf_roberta(seqlen):
     np.testing.assert_allclose(np.asarray(out)[valid], ref[valid], atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_embedder_node_batch():
     ids = _ids(batch=6, seqlen=12, pad_from=5)
     model = UniXcoderEmbedder(TINY)

@@ -23,6 +23,7 @@ from mvuld_tpu.core.train_state import (TrainState, make_eval_step,
                                         make_multi_train_step, make_train_step)
 
 
+@pytest.mark.slow
 def test_moe_top2_no_slot_collision():
     """With top_k=2 and ample capacity every token must receive
     sum_k p_k * expert_{e_k}(x_t) — the pre-fix independent cumsums summed
@@ -215,6 +216,7 @@ def test_fit_resumes_from_checkpoint(tmp_path):
     assert [h["epoch"] for h in res3["history"]] == [2]
 
 
+@pytest.mark.slow
 def test_tensor_parallel_sharding_matches_replicated():
     """Megatron-style mp sharding of the SwinV2 encoder weights (tp_spec)
     must be numerically identical to replicated training — sharding is

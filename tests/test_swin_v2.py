@@ -148,6 +148,7 @@ def test_head_reinit_on_class_mismatch(reference_swin):
     assert params["head"]["kernel"].shape == (TINY.num_features, 5)
 
 
+@pytest.mark.slow
 def test_scan_blocks_parity():
     """scan_blocks=True with repacked params must match the per-block model
     exactly (it is the fast-compile path used by bench/production)."""

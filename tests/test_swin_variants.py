@@ -60,6 +60,7 @@ def test_moe_forward_and_aux():
     assert moe_w1 and moe_w1[0].shape[0] == 2      # 2 experts
 
 
+@pytest.mark.slow
 def test_moe_ffn_routes_all_capacity():
     """With generous capacity every token is dispatched exactly top_k times."""
     rng = np.random.RandomState(0)

@@ -3,8 +3,10 @@ precompute must emit per-node token ids alongside node embeddings, and the
 staged fusion loader must surface them."""
 
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_cache_emits_and_loader_reads_token_ids(tmp_path):
     from mvuld_tpu.config import default_config
     from mvuld_tpu.data.tokenizer import CodeTokenizer, normalize_line

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the -m 'not slow' quick lane
+
 ARGS_COMMON = ["--synthetic", "80", "--batch-size", "8", "--max-nodes", "24",
                "--emb-dim", "24", "--epochs", "3", "--lr", "2e-3"]
 

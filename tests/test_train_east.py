@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the -m 'not slow' quick lane
+
 
 def test_east_training_loss_decreases(tmp_path):
     from mvuld_tpu.train.train_east import main

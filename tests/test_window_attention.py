@@ -43,6 +43,7 @@ def test_kernel_matches_reference_masked():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_custom_vjp_gradients_match():
     """Backward (XLA recompute) must equal the reference's gradients."""
     q, k, v, bias, scale = _inputs(2)
@@ -143,6 +144,7 @@ def test_map_kernel_head_groups():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_map_kernel_mxu_bf16_close():
     """bf16-MXU variant stays within bf16 rounding of the fp32 reference."""
     from mvuld_tpu.ops.window_attention import (
@@ -206,6 +208,7 @@ def test_map_custom_vjp_gradients_match():
                                    atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_model_pallas_path_matches_xla_path():
     """SwinV2 with use_pallas (flat-layout kernels, interpret) must equal the
     pure-XLA windows path — logits AND gradients, shifted blocks included."""
@@ -310,6 +313,7 @@ def test_flat_custom_vjp_gradients_match():
                                    atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_model_pallas_bf16_path_close():
     """The production config (bf16 model dtype + flat pallas kernels) must
     stay within bf16 rounding of the fp32 XLA path."""
