@@ -87,7 +87,9 @@ def main() -> None:
     sc = SwinV2Config.from_cfg(cfg)
     model = SwinTransformerV2(
         sc, use_checkpoint=REMAT, scan_blocks=True, use_pallas=True,
-        save_qkv_in_remat=os.environ.get("MVULD_BENCH_SAVE_QKV", "0") == "1")
+        save_qkv_in_remat=os.environ.get("MVULD_BENCH_SAVE_QKV", "0") == "1",
+        window_resident=os.environ.get(
+            "MVULD_BENCH_WINDOW_RESIDENT", "0") == "1")
 
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((BATCH, 448, 448, 3), jnp.float32)

@@ -215,6 +215,17 @@ def window_reverse(x: jnp.ndarray, window: int, H: int, W: int) -> jnp.ndarray:
     return x.reshape(B, H, W, C)
 
 
+def window_shift_regroup(xw: jnp.ndarray, window: int, H: int, W: int,
+                         dh: int, dw: int) -> jnp.ndarray:
+    """Re-group windows after a (dh, dw) roll of the underlying feature map,
+    staying in window layout [Bn, N, C] — reverse∘roll∘partition composed so
+    XLA emits ONE layout copy instead of the three separate HBM passes the
+    spatial-resident block pays per shift (the window-resident fast path)."""
+    x = window_reverse(xw, window, H, W)
+    x = jnp.roll(x, (dh, dw), axis=(1, 2))
+    return window_partition(x, window)
+
+
 # --------------------------------------------------------------------------- #
 # modules
 # --------------------------------------------------------------------------- #
@@ -228,13 +239,21 @@ class DropPath(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
-                 rate: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 rate: Optional[jnp.ndarray] = None,
+                 batch_repeat: int = 1) -> jnp.ndarray:
+        """``batch_repeat``: leading-dim entries per sample — in window
+        layout [B·nW, N, C] the drop decision must be per IMAGE, so one
+        bernoulli per B is repeated nW times (keeps parity with the
+        spatial-resident path where the leading dim IS the image batch)."""
         if deterministic or (rate is None and self.rate == 0.0):
             return x
         keep = 1.0 - (self.rate if rate is None else rate)
         keep = jnp.asarray(keep, jnp.float32)
-        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, shape)
+        B = x.shape[0] // batch_repeat
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep,
+                                    (B,) + (1,) * (x.ndim - 1))
+        if batch_repeat > 1:
+            mask = jnp.repeat(mask, batch_repeat, axis=0)
         # keep the carry dtype stable under lax.scan (bf16 in, bf16 out)
         return jnp.where(mask, x / keep.astype(x.dtype), jnp.zeros((), x.dtype))
 
@@ -272,13 +291,23 @@ class WindowAttentionV2(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[np.ndarray] = None,
-                 deterministic: bool = True, shift: int = 0) -> jnp.ndarray:
-        """x: [B, Hp, Wp, C] feature map (already shifted when applicable).
-        Returns [B, Hp, Wp, C]. Window partitioning happens INSIDE: the
-        Pallas path indexes windows straight out of the qkv map (zero layout
-        copies; the shift mask is synthesized in-kernel from ``shift``);
-        the XLA path partitions explicitly and adds ``mask``."""
-        B, Hp, Wp, C = x.shape
+                 deterministic: bool = True, shift: int = 0,
+                 window_grid: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
+        """x: [B, Hp, Wp, C] feature map (already shifted when applicable) —
+        OR, with ``window_grid=(nWh, nWw)``, an already-partitioned
+        [Bn, N, C] window layout (the window-resident fast path: the block
+        keeps activations in window layout between blocks and this module
+        does zero layout copies). Returns the same layout it was given.
+        The Pallas path's shift mask is synthesized in-kernel from
+        ``shift``; the XLA path adds ``mask``."""
+        if window_grid is not None:
+            Bn_in, N_in, C = x.shape
+            nWh_g, nWw_g = window_grid
+            Hp = nWh_g * self.window_size
+            Wp = nWw_g * self.window_size
+            B = Bn_in // (nWh_g * nWw_g)
+        else:
+            B, Hp, Wp, C = x.shape
         ws = self.window_size
         H = self.num_heads
         hd = C // H
@@ -325,7 +354,7 @@ class WindowAttentionV2(nn.Module):
             # VPU-bound (softmax chain), and the bf16 casts add VPU passes
             from mvuld_tpu.ops.window_attention import (
                 window_attention_flat, window_attention_flat_sharded)
-            xw = window_partition(x_, ws)                 # [Bn, N, C]
+            xw = x_ if window_grid is not None else window_partition(x_, ws)
             qkv = xw @ qkv_w.astype(self.dtype)           # [Bn, N, 3C]
             if qkv_b is not None:
                 qkv = qkv + qkv_b.astype(self.dtype)
@@ -343,8 +372,12 @@ class WindowAttentionV2(nn.Module):
                 out = window_attention_flat(
                     qkv, bias, scale.reshape(H), shift=shift, nWh=Hp // ws,
                     nWw=Wp // ws, interpret=po.interpret) # [Bn, N, C] fp32
-            out = window_reverse(out.astype(self.dtype), ws, Hp, Wp)
+            out = out.astype(self.dtype)
+            if window_grid is None:
+                out = window_reverse(out, ws, Hp, Wp)     # [B, Hp, Wp, C]
         else:
+            assert window_grid is None, \
+                "window-resident layout requires the Pallas path"
             qkv = x_ @ qkv_w.astype(self.dtype)           # [B, Hp, Wp, 3C]
             if qkv_b is not None:
                 qkv = qkv + qkv_b.astype(self.dtype)
@@ -403,6 +436,12 @@ class SwinBlockV2(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     pallas_opts: Optional[PallasOpts] = None
+    # window-resident fast path: activations stay in window layout
+    # [B·nW, N, C] BETWEEN blocks (LN/MLP/residuals are token-local, so the
+    # layout is free for them); only a shifted block pays layout copies —
+    # two composed reverse∘roll∘partition regroups — instead of the
+    # spatial path's partition+reverse+2·roll per block
+    window_resident: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
@@ -412,6 +451,11 @@ class SwinBlockV2(nn.Module):
         # clamp window to resolution (reference: :216-219)
         if min(Hr, Wr) <= window:
             window, shift = min(Hr, Wr), 0
+
+        if self.window_resident and self.use_pallas:
+            return self._window_resident_call(x, window, shift, Hr, Wr,
+                                              deterministic, drop_path_rate)
+
         B, L, C = x.shape
         shortcut = x
         x = x.reshape(B, Hr, Wr, C)
@@ -440,6 +484,38 @@ class SwinBlockV2(nn.Module):
             y, deterministic, rate=drop_path_rate)
         return x
 
+    def _window_resident_call(self, x, window, shift, Hr, Wr, deterministic,
+                              drop_path_rate):
+        """x: [B·nW, N, C] in UNSHIFTED window grouping; returns the same.
+        Numerically identical to the spatial path (DropPath repeats one
+        per-image mask across the nW window rows)."""
+        nWh, nWw = Hr // window, Wr // window
+        nW = nWh * nWw
+        shortcut = x
+        xa = x
+        if shift > 0:
+            xa = window_shift_regroup(xa, window, Hr, Wr, -shift, -shift)
+        xa = WindowAttentionV2(
+            self.dim, window, self.num_heads, self.qkv_bias,
+            self.attn_drop, self.drop, self.pretrained_window_size,
+            dtype=self.dtype, use_pallas=self.use_pallas,
+            pallas_opts=self.pallas_opts,
+            name="attn")(xa, None, deterministic, shift=shift,
+                         window_grid=(nWh, nWw))           # [Bn, N, C]
+        if shift > 0:
+            xa = window_shift_regroup(xa, window, Hr, Wr, shift, shift)
+        xa = nn.LayerNorm(dtype=self.dtype, name="norm1")(xa)
+        x = shortcut + DropPath(self.drop_path, name="drop_path1")(
+            xa, deterministic, rate=drop_path_rate, batch_repeat=nW)
+
+        C = x.shape[-1]
+        y = MlpBlock(int(C * self.mlp_ratio), C, self.drop, dtype=self.dtype,
+                     name="mlp")(x, deterministic)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(y)
+        x = x + DropPath(self.drop_path, name="drop_path2")(
+            y, deterministic, rate=drop_path_rate, batch_repeat=nW)
+        return x
+
 
 class BlockPair(nn.Module):
     """One (no-shift, shift) block pair — the repeating unit of a Swin stage.
@@ -459,6 +535,7 @@ class BlockPair(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     pallas_opts: Optional[PallasOpts] = None
+    window_resident: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, dp_rates: jnp.ndarray,
@@ -469,7 +546,8 @@ class BlockPair(nn.Module):
                       drop=self.drop, attn_drop=self.attn_drop,
                       pretrained_window_size=self.pretrained_window_size,
                       dtype=self.dtype, use_pallas=self.use_pallas,
-                      pallas_opts=self.pallas_opts)
+                      pallas_opts=self.pallas_opts,
+                      window_resident=self.window_resident)
         x = SwinBlockV2(**common, shift_size=0, name="block0")(
             x, deterministic, drop_path_rate=dp_rates[0])
         x = SwinBlockV2(**common, shift_size=self.window_size // 2,
@@ -538,6 +616,12 @@ class SwinTransformerV2(nn.Module):
     # kernel's residuals then come straight from HBM instead of re-running
     # the qkv GEMM + partition copy. Off by default (memory).
     save_qkv_in_remat: bool = False
+    # keep activations in window layout between blocks (Pallas path only):
+    # one partition per stage + one reverse at stage end + two composed
+    # regroups per SHIFTED block, instead of per-block partition/reverse/
+    # roll passes. Numerically identical (token-local LN/MLP/residuals are
+    # layout-invariant; DropPath repeats its per-image mask across windows).
+    window_resident: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
@@ -570,6 +654,15 @@ class SwinTransformerV2(nn.Module):
         for i_layer, depth in enumerate(c.depths):
             dim = int(c.embed_dim * 2 ** i_layer)
             resolution = (res // 2 ** i_layer, res // 2 ** i_layer)
+            # window-resident: enter window layout ONCE per stage (only
+            # worth it while the resolution exceeds the window, i.e. nW>1)
+            Hr = resolution[0]
+            wres = (self.window_resident and self.use_pallas
+                    and Hr > min(c.window_size, Hr))
+            if wres:
+                ws_l = min(c.window_size, Hr)
+                x = window_partition(
+                    x.reshape(-1, Hr, Hr, dim), ws_l)       # [Bn, N, C]
             if self.scan_blocks and depth % 2 == 0 and depth >= 2:
                 n_pairs = depth // 2
                 rates = jnp.asarray(
@@ -592,7 +685,7 @@ class SwinTransformerV2(nn.Module):
                     attn_drop=c.attn_drop_rate,
                     pretrained_window_size=c.pretrained_window_sizes[i_layer],
                     dtype=c.dtype, use_pallas=self.use_pallas,
-                    pallas_opts=self.pallas_opts,
+                    pallas_opts=self.pallas_opts, window_resident=wres,
                     name=f"layers_{i_layer}_scan")
                 x, _ = scanned(x, rates, deterministic)
                 block_idx += depth
@@ -607,9 +700,12 @@ class SwinTransformerV2(nn.Module):
                         drop_path=float(dpr[block_idx]),
                         pretrained_window_size=c.pretrained_window_sizes[i_layer],
                         dtype=c.dtype, use_pallas=self.use_pallas,
-                        pallas_opts=self.pallas_opts,
+                        pallas_opts=self.pallas_opts, window_resident=wres,
                         name=f"layers_{i_layer}_blocks_{i_block}")(x, deterministic)
                     block_idx += 1
+            if wres:
+                x = window_reverse(x, ws_l, Hr, Hr).reshape(
+                    -1, Hr * Hr, dim)                       # back to [B, L, C]
             if i_layer < len(c.depths) - 1:
                 x = PatchMerging(resolution, dim, dtype=c.dtype,
                                  name=f"layers_{i_layer}_downsample")(x)
