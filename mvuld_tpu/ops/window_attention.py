@@ -767,16 +767,37 @@ def _flat_fwd_kernel_factory(GL: int, hd: int, ws: int, shift: int,
                 * scale_ref[hg * GL + gi, 0] + bias_ref[gi].astype(jnp.float32)
             if mask is not None:
                 s = s + mask
-            # unnormalized softmax: divide the [N, hd] OUTPUT by the row
-            # sums instead of the [N, N] probabilities — one fewer full
-            # VPU pass (≡ softmax(s) @ v up to rounding)
-            e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+            # unnormalized softmax with a STATIC per-head shift instead of
+            # the per-row max: logits are bounded above by m = scale +
+            # max(bias) (cosine sim ≤ 1, mask ≤ 0; m precomputed outside and
+            # read from SMEM), and the row max never falls more than
+            # range(bias) below it (the diagonal s_ii = scale + bias_ii is
+            # never masked), so exp(s - m) can neither overflow nor flush
+            # the row sum to zero. Saves the [N, N] max-reduce VPU pass;
+            # dividing the [N, hd] OUTPUT by the row sums (not the [N, N]
+            # probabilities) saves another (≡ softmax(s) @ v up to rounding).
+            e = jnp.exp(s - scale_ref[hg * GL + gi, 1])
             out = _dot(e.astype(mxu_t), v.astype(mxu_t), 1, 0)
             out = out / jnp.sum(e, axis=-1, keepdims=True)
             o_ref[0, :, sl] = out.astype(o_ref.dtype)
         return
 
     return kernel
+
+
+def _scale_and_shift_smem(logit_scale, bias):
+    """[H, 2] SMEM operand: col 0 = per-head logit scale, col 1 = the static
+    softmax shift m = scale + max(bias) (see the forward-kernel note).
+
+    Validity bound: the shifted row sum is >= exp(bias_ii - max(bias))
+    (the diagonal has cosine 1 and is never shift-masked), so the scheme
+    needs per-head range(bias) << 87 (fp32 exp underflow). SwinV2's CPB
+    bias is 16*sigmoid(mlp) in (0, 16) — two orders inside the bound;
+    tests/test_window_attention.py stresses range ~40.
+    """
+    scale = jnp.asarray(logit_scale, jnp.float32).reshape(-1)
+    m = scale + jnp.max(bias.astype(jnp.float32), axis=(1, 2))
+    return jnp.stack([scale, m], axis=1)
 
 
 def pallas_window_attention_flat(qkv, bias, logit_scale, shift: int = 0,
@@ -805,11 +826,11 @@ def pallas_window_attention_flat(qkv, bias, logit_scale, shift: int = 0,
 
     bias_spec = pl.BlockSpec((GL, N, N), lambda hg, b: (hg, 0, 0),
                              memory_space=pltpu.VMEM)
-    # full (H, 1) SMEM block — a (GL, 1) block would violate the trailing-
+    # full (H, 2) SMEM block — a (GL, ·) block would violate the trailing-
     # dims rule when GL isn't a multiple of 8; scalar reads index hg·GL+gi
-    scale_spec = pl.BlockSpec((H, 1), lambda hg, b: (0, 0),
+    scale_spec = pl.BlockSpec((H, 2), lambda hg, b: (0, 0),
                               memory_space=pltpu.SMEM)
-    scale = jnp.asarray(logit_scale, jnp.float32).reshape(H, 1)
+    scale = _scale_and_shift_smem(logit_scale, bias)
     return pl.pallas_call(
         _flat_fwd_kernel_factory(GL, hd, ws, shift, nWh, nWw, mxu_bf16),
         grid=(NB, Bn),
@@ -866,20 +887,30 @@ def _flat_bwd_kernel_factory(GL: int, hd: int, ws: int, shift: int,
             qh16 = qh.astype(mxu_t)
             kh16 = kh.astype(mxu_t)
             s_cos = _dot(qh16, kh16, 1, 1)
-            s = s_cos * scale + bias_ref[gi].astype(jnp.float32)
+            # softmax recompute without the per-row max (see the forward
+            # kernel note: m = scale + max(bias) from SMEM bounds the
+            # logits) and WITHOUT materializing p: with e = exp(s - m) and
+            # r = 1/Σe, p = e·r folds into the consumers —
+            #   ds = p·(dp − Σ dp·p) = e·(r·dp − r²·Σ dp·e)
+            #   dv = pᵀ·g = eᵀ·(r·g)
+            # ([N,N] VPU passes: 9.5 → 6.5; bwd measured 9.7 → ~7 ms/call)
+            s = s_cos * scale + (bias_ref[gi].astype(jnp.float32)
+                                 - scale_ref[hg * GL + gi, 1])
             if mask is not None:
                 s = s + mask
-            p = jax.nn.softmax(s, axis=-1)
+            e = jnp.exp(s)
+            r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
 
             g16 = g.astype(mxu_t)
             dp = _dot(g16, v.astype(mxu_t), 1, 1)
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            t = jnp.sum(dp * e, axis=-1, keepdims=True)
+            ds = e * (r * dp - (r * r) * t)
 
             dbias_ref[gi] += ds.astype(dbias_ref.dtype)
             dscale_ref[hg * GL + gi, 0] += jnp.sum(ds * s_cos)
 
             ds16 = ds.astype(mxu_t)
-            dv = _dot(p.astype(mxu_t), g16, 0, 0)            # pᵀ·g
+            dv = _dot(e.astype(mxu_t), (r * g).astype(mxu_t), 0, 0)  # eᵀ·(r·g)
             dqh = _dot(ds16, kh16, 1, 0) * scale
             dkh = _dot(ds16, qh16, 0, 0) * scale             # dsᵀ·qh
             dq = (dqh - qh * jnp.sum(qh * dqh, axis=-1, keepdims=True)) * qn
@@ -917,9 +948,9 @@ def pallas_window_attention_flat_bwd(qkv, bias, logit_scale, g,
                              memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((GL, N, N), lambda hg, b: (hg, 0, 0),
                              memory_space=pltpu.VMEM)
-    scale_spec = pl.BlockSpec((H, 1), lambda hg, b: (0, 0),
+    scale_spec = pl.BlockSpec((H, 2), lambda hg, b: (0, 0),
                               memory_space=pltpu.SMEM)
-    scale = jnp.asarray(logit_scale, jnp.float32).reshape(H, 1)
+    scale = _scale_and_shift_smem(logit_scale, bias)
 
     out_shape = (
         jax.ShapeDtypeStruct((Bn, N, C), jnp.float32),   # dq

@@ -280,6 +280,24 @@ def test_flat_kernel_matches_reference_masked():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+def test_flat_kernel_wide_bias_range():
+    """The static softmax shift (m = scale + max(bias) from SMEM) must stay
+    accurate when the per-head bias range is much wider than SwinV2's (0,16)
+    CPB output — stress range ~40, still far inside the exp(-87) underflow
+    bound documented on _scale_and_shift_smem."""
+    from mvuld_tpu.ops.window_attention import (
+        pallas_window_attention_flat, window_attention_flat_reference)
+    qkv, bias, scale = _flat_inputs(seed=7)
+    bias = (bias * 12.0).astype(np.float32)     # range ≈ 40 per head
+    want = np.asarray(window_attention_flat_reference(
+        jnp.asarray(qkv), jnp.asarray(bias), jnp.asarray(scale), None))
+    got = np.asarray(pallas_window_attention_flat(
+        jnp.asarray(qkv), jnp.asarray(bias), jnp.asarray(scale),
+        interpret=True))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-4)
+
+
 def test_flat_custom_vjp_gradients_match():
     import mvuld_tpu.ops.window_attention as wa
     qkv, bias, scale = _flat_inputs(seed=4)
