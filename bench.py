@@ -232,6 +232,26 @@ def _fusion_bench(jax, jnp, np, cfg, rng):
     }
 
 
+def _host_init(shapes, np):
+    """Cheap well-conditioned init from an eval_shape tree, computed on host
+    (avoids compiling a second device program just for init): norm/BN scales
+    and running vars get 1, biases/means 0, everything else N(0, 0.02).
+    All-zero params NaN after one update (rsqrt/l2norm grads at exactly 0)."""
+    import jax
+    import jax.numpy as jnp
+    gen = np.random.RandomState(7)
+
+    def leaf(path, s):
+        name = str(getattr(path[-1], "key", path[-1]))
+        if name in ("scale", "gamma", "var"):
+            return jnp.ones(s.shape, s.dtype)
+        if name in ("bias", "mean"):
+            return jnp.zeros(s.shape, s.dtype)
+        return jnp.asarray(gen.standard_normal(s.shape) * 0.02, s.dtype)
+
+    return jax.tree_util.tree_map_with_path(leaf, shapes)
+
+
 def _e2e_bench(jax, jnp, np, rng):
     """Optional metric: full tri-modal fine-tune step at production dims —
     UniXcoder-base (12×768, func 512 tokens + 100 node lines × 64 tokens),
@@ -266,19 +286,23 @@ def _e2e_bench(jax, jnp, np, rng):
     def apply_fn(vs, batch, rngs, train, mutable=None):
         kwargs = {k: batch[k] for k in ("func_ids", "node_ids", "image",
                                         "pos", "adj", "node_mask")}
+        if mutable:   # fusion head has BatchNorm → batch_stats updates
+            return model.apply(vs, **kwargs, train=train, rngs=rngs,
+                               mutable=mutable)
         return model.apply(vs, **kwargs, train=train, rngs=rngs)
 
     init_args = {k: v[0, :1] for k, v in sb.items() if k != "label"}
     variables = jax.eval_shape(
         lambda k: model.init(k, **init_args), jax.random.PRNGKey(1))
-    variables = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), variables)
+    variables = _host_init(variables, np)
     from mvuld_tpu.core.optim import build_optimizer
     from mvuld_tpu.config import default_config
     tx = build_optimizer(default_config(), lambda s: 1e-5)
-    state = TrainState.create(variables["params"], tx)
+    state = TrainState.create(variables["params"], tx,
+                              batch_stats=variables.get("batch_stats"))
     step = make_multi_train_step(apply_fn, tx, num_steps=K,
-                                 label_smoothing=0.1)
+                                 label_smoothing=0.1,
+                                 has_batch_stats="batch_stats" in variables)
     state, m = step(state, sb, rng)           # compile + warmup
     assert np.isfinite(np.asarray(m["loss"])).all()
     times = []

@@ -140,7 +140,9 @@ class RobertaEncoder(nn.Module):
             tril = jnp.tril(jnp.ones((T, T), jnp.float32))
             attn_bias = attn_bias + jnp.where(tril > 0, 0.0, -1e9)[None, None]
 
-        layer_cls = nn.remat(TransformerLayer, static_argnums=(2,)) if self.remat else TransformerLayer
+        # static_argnums counts `self` (flax subtracts 1 internally):
+        # __call__(self, hidden, attn_bias, deterministic) → deterministic = 3
+        layer_cls = nn.remat(TransformerLayer, static_argnums=(3,)) if self.remat else TransformerLayer
         for i in range(c.num_layers):
             hidden = layer_cls(c, name=f"layer_{i}")(hidden, attn_bias, deterministic)
         return hidden

@@ -851,7 +851,8 @@ def pallas_window_attention_flat(qkv, bias, logit_scale, shift: int = 0,
 
 
 def _flat_bwd_kernel_factory(GL: int, hd: int, ws: int, shift: int,
-                             nWh: int, nWw: int, mxu_bf16: bool):
+                             nWh: int, nWw: int, mxu_bf16: bool,
+                             tn_dots: bool = False):
     N = ws * ws
     mxu_t = jnp.bfloat16 if mxu_bf16 else jnp.float32
 
@@ -910,9 +911,18 @@ def _flat_bwd_kernel_factory(GL: int, hd: int, ws: int, shift: int,
             dscale_ref[hg * GL + gi, 0] += jnp.sum(ds * s_cos)
 
             ds16 = ds.astype(mxu_t)
-            dv = _dot(e.astype(mxu_t), (r * g).astype(mxu_t), 0, 0)  # eᵀ·(r·g)
             dqh = _dot(ds16, kh16, 1, 0) * scale
-            dkh = _dot(ds16, qh16, 0, 0) * scale             # dsᵀ·qh
+            if tn_dots:
+                # contract the [N, N] operands along their SUBLANE axis via
+                # native (1,0) dots on pre-transposed [hd, N] operands:
+                # dvᵀ = (r·g)ᵀ·e and dkhᵀ = qhᵀ·ds replace the (0,0) dots
+                # whose lowering transposes the full [N, N] matrix through
+                # the XLU — the small [N, hd] transposes cost N·hd, not N².
+                dv = _dot((r * g).astype(mxu_t).T, e.astype(mxu_t), 1, 0).T
+                dkh = _dot(qh16.T, ds16, 1, 0).T * scale
+            else:
+                dv = _dot(e.astype(mxu_t), (r * g).astype(mxu_t), 0, 0)
+                dkh = _dot(ds16, qh16, 0, 0) * scale         # dsᵀ·qh
             dq = (dqh - qh * jnp.sum(qh * dqh, axis=-1, keepdims=True)) * qn
             dk = (dkh - kh * jnp.sum(kh * dkh, axis=-1, keepdims=True)) * kn
             dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
@@ -927,7 +937,8 @@ def pallas_window_attention_flat_bwd(qkv, bias, logit_scale, g,
                                      shift: int = 0,
                                      nWh: int = 1, nWw: int = 1,
                                      interpret: bool = False,
-                                     mxu_bf16: bool = False):
+                                     mxu_bf16: bool = False,
+                                     tn_dots: bool = False):
     """Flat-layout fused backward: (dq, dk, dv [Bn,N,C] fp32, dbias,
     dlogit_scale). Grid (H/GL, Bn) — per-group dbias/dscale blocks
     accumulate across the fast batch axis."""
@@ -967,7 +978,8 @@ def pallas_window_attention_flat_bwd(qkv, bias, logit_scale, g,
                      memory_space=pltpu.SMEM),
     )
     dq, dk, dv, dbias, dscale = pl.pallas_call(
-        _flat_bwd_kernel_factory(GL, hd, ws, shift, nWh, nWw, mxu_bf16),
+        _flat_bwd_kernel_factory(GL, hd, ws, shift, nWh, nWw, mxu_bf16,
+                                 tn_dots=tn_dots),
         grid=(NB, Bn),
         in_specs=[spec(0), spec(NB), spec(2 * NB), bias_spec, scale_spec,
                   gout_spec],
