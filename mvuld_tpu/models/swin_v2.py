@@ -341,6 +341,12 @@ class WindowAttentionV2(nn.Module):
         # equals cpb[relative_position_index].reshape(N,N,H).transpose —
         # the naive gather was the dominant forward cost at 448²
         bias = relative_bias_from_table(cpb, self.window_size)     # [H, N, N]
+        # named for the remat policy (SwinTransformerV2.saved_names): tagged
+        # PRE-sigmoid — the sigmoid's own bwd needs this value, so saving it
+        # (rather than the post-sigmoid bias) is what lets DCE drop the
+        # whole expansion from the remat recompute; rebuilding the kernel's
+        # bias residual is then one elementwise op.
+        bias = checkpoint_name(bias, "attn_bias")
         bias = 16.0 * jax.nn.sigmoid(bias)
 
         if self.use_pallas and self.attn_drop == 0.0:
@@ -641,7 +647,13 @@ class SwinTransformerV2(nn.Module):
         dpr = np.linspace(0, c.drop_path_rate, sum(c.depths)).tolist()
         # activation remat per block (reference: TRAIN.USE_CHECKPOINT →
         # torch.utils.checkpoint, swin_transformer_v2.py:427-431)
-        saved_names = (["attn_out"] if self.save_attn_in_remat else [])
+        # attn_bias rides along with attn_out: the CPB bias is a residual of
+        # the attention custom-VJP, so saving it lets DCE drop the whole
+        # block-Toeplitz expansion (one-hot matmuls + [ws,ws,ws,ws,H] layout
+        # permutes — profiled at ~25 ms/step of the bwd recompute at bs64)
+        # for ~0.7 GB of fp32 saves.
+        saved_names = (["attn_out", "attn_bias"]
+                       if self.save_attn_in_remat else [])
         if self.save_qkv_in_remat:
             saved_names.append("qkv")
         remat_policy = (

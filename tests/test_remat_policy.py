@@ -60,6 +60,34 @@ def test_policy_drops_fwd_kernel_rerun(scan_blocks):
     assert counts[False] == 3 * counts[True] // 2, counts
 
 
+@pytest.mark.parametrize("scan_blocks", [False, True])
+def test_policy_drops_bias_expansion_rerun(scan_blocks):
+    """The CPB bias is a residual of the attention custom-VJP: with
+    "attn_bias" in the save list the block-Toeplitz expansion (signature:
+    the 5-D (0,2,1,3,4) transpose in relative_bias_from_table) must appear
+    only in the forward, not again in the remat recompute."""
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    counts = {}
+    for save in (False, True):
+        model = SwinTransformerV2(TINY, use_checkpoint=True,
+                                  scan_blocks=scan_blocks, use_pallas=True,
+                                  save_attn_in_remat=save)
+        variables = jax.eval_shape(lambda k: model.init(k, x),
+                                   jax.random.PRNGKey(0))
+        variables = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), variables)
+
+        def loss(params, x, model=model):
+            out = model.apply({"params": params}, x, deterministic=True)
+            return jnp.sum(out ** 2)
+
+        jaxpr = jax.make_jaxpr(jax.grad(loss))(variables["params"], x)
+        counts[save] = str(jaxpr).count("permutation=(0, 2, 1, 3, 4)")
+    # full remat: fwd + recompute = 2 expansions per block call-site;
+    # saved: fwd only = 1 (plus, either way, sigmoid-bwd reuse is free).
+    assert 0 < counts[True] < counts[False], counts
+
+
 @pytest.mark.slow
 def test_policy_grads_match_no_checkpoint():
     """Numerical: remat (with and without the save policy) is a pure
