@@ -86,7 +86,9 @@ def main() -> None:
 
     sc = SwinV2Config.from_cfg(cfg)
     model = SwinTransformerV2(
-        sc, use_checkpoint=REMAT, scan_blocks=True, use_pallas=True,
+        sc, use_checkpoint=REMAT,
+        scan_blocks=os.environ.get("MVULD_BENCH_SCAN", "1") == "1",
+        use_pallas=True,
         save_qkv_in_remat=os.environ.get("MVULD_BENCH_SAVE_QKV", "0") == "1",
         window_resident=os.environ.get(
             "MVULD_BENCH_WINDOW_RESIDENT", "0") == "1")
