@@ -770,15 +770,18 @@ def _flat_fwd_kernel_factory(GL: int, hd: int, ws: int, shift: int,
             # unnormalized softmax with a STATIC per-head shift instead of
             # the per-row max: logits are bounded above by m = scale +
             # max(bias) (cosine sim ≤ 1, mask ≤ 0; m precomputed outside and
-            # read from SMEM), and the row max never falls more than
-            # range(bias) below it (the diagonal s_ii = scale + bias_ii is
-            # never masked), so exp(s - m) can neither overflow nor flush
-            # the row sum to zero. Saves the [N, N] max-reduce VPU pass;
-            # dividing the [N, hd] OUTPUT by the row sums (not the [N, N]
-            # probabilities) saves another (≡ softmax(s) @ v up to rounding).
+            # read from SMEM), so exp(s - m) cannot overflow. The row max CAN
+            # fall below m by up to 2·scale + range(bias) (q_i and k_i are
+            # different projections, so cos(q_i, k_i) is only in [-1, 1]);
+            # with the trained logit_scale clamped at exp≈100 that exceeds
+            # the fp32 exp underflow (~87), so the row sum is clamped to
+            # 1e-30 below — rows that underflow saturate instead of 0/0 NaN.
+            # Saves the [N, N] max-reduce VPU pass; dividing the [N, hd]
+            # OUTPUT by the row sums (not the [N, N] probabilities) saves
+            # another (≡ softmax(s) @ v up to rounding).
             e = jnp.exp(s - scale_ref[hg * GL + gi, 1])
             out = _dot(e.astype(mxu_t), v.astype(mxu_t), 1, 0)
-            out = out / jnp.sum(e, axis=-1, keepdims=True)
+            out = out / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
             o_ref[0, :, sl] = out.astype(o_ref.dtype)
         return
 
@@ -789,11 +792,15 @@ def _scale_and_shift_smem(logit_scale, bias):
     """[H, 2] SMEM operand: col 0 = per-head logit scale, col 1 = the static
     softmax shift m = scale + max(bias) (see the forward-kernel note).
 
-    Validity bound: the shifted row sum is >= exp(bias_ii - max(bias))
-    (the diagonal has cosine 1 and is never shift-masked), so the scheme
-    needs per-head range(bias) << 87 (fp32 exp underflow). SwinV2's CPB
-    bias is 16*sigmoid(mlp) in (0, 16) — two orders inside the bound;
-    tests/test_window_attention.py stresses range ~40.
+    Validity bound: m - s_ij = scale·(1 - cos(q_i, k_j)) + (max(bias) -
+    bias_ij) ≤ 2·scale + range(bias) — q and k are DIFFERENT projections, so
+    no entry is guaranteed near cosine 1. With SwinV2's clamp (logit_scale ≤
+    log 100, swin_v2.py) and CPB bias 16·sigmoid(mlp) ∈ (0, 16) the bound is
+    ~216 > 87 (fp32 exp underflow), so a fully-anticorrelated row CAN flush
+    its sum to zero; both kernels clamp the row sum at 1e-30 so such rows
+    saturate to the max-probability direction instead of producing NaN.
+    tests/test_window_attention.py stresses bias range ~40 and the
+    underflow path directly.
     """
     scale = jnp.asarray(logit_scale, jnp.float32).reshape(-1)
     m = scale + jnp.max(bias.astype(jnp.float32), axis=(1, 2))
@@ -900,12 +907,18 @@ def _flat_bwd_kernel_factory(GL: int, hd: int, ws: int, shift: int,
             if mask is not None:
                 s = s + mask
             e = jnp.exp(s)
-            r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            # clamp mirrors the fwd kernel: an underflowed row sum (possible
+            # when scale·(1-cos)+bias range exceeds ~87) must not produce inf
+            r = 1.0 / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
 
             g16 = g.astype(mxu_t)
             dp = _dot(g16, v.astype(mxu_t), 1, 1)
             t = jnp.sum(dp * e, axis=-1, keepdims=True)
-            ds = e * (r * dp - (r * r) * t)
+            # ds = e·r·(dp − r·t), NOT e·(r·dp − r²·t): with the clamped row
+            # sum r can reach 1e30 and r² overflows fp32 → inf·0 = NaN. r·t
+            # is bounded (|t| ≤ max|dp|·Σe ⇒ |r·t| ≤ max|dp|); same number
+            # of [N,N] VPU passes ((dp − r·t) then ·e, r folds into either).
+            ds = e * (r * (dp - r * t))
 
             dbias_ref[gi] += ds.astype(dbias_ref.dtype)
             dscale_ref[hg * GL + gi, 0] += jnp.sum(ds * s_cos)
@@ -1075,7 +1088,7 @@ def window_attention_flat_sharded(qkv, bias, logit_scale, shift: int,
     if (Bn // nW) % k != 0:
         raise ValueError(
             f"sequence-parallel window attention: batch {Bn//nW} (Bn={Bn}, "
-            f"nW={nW}) must divide the '{axis}' axis size {k}")
+            f"nW={nW}) must be a multiple of the '{axis}' axis size {k}")
 
     def per_shard(q, b, s):
         return window_attention_flat(q, b, s, shift, nWh, nWw,

@@ -48,7 +48,10 @@ def build_east_corpus(n_funcs: int, canvas_size: int, seed: int, cache: str,
 
     style = style or DEFAULT_STYLE
     os.makedirs(cache, exist_ok=True)
-    npz = os.path.join(cache, f"east_canvas_{n_funcs}_{canvas_size}_{tag}.npz")
+    # the seed is part of the key: the eval corpus (seed+10000) must never
+    # alias the training corpus cache even when n/size/tag coincide
+    npz = os.path.join(
+        cache, f"east_canvas_{n_funcs}_{canvas_size}_{tag}_s{seed}.npz")
     if os.path.exists(npz):
         z = np.load(npz)
         return z["images"], z["quads"], z["nquads"], []
@@ -68,6 +71,14 @@ def build_east_corpus(n_funcs: int, canvas_size: int, seed: int, cache: str,
         W, H = img.size
         sx, sy = canvas_size / W, canvas_size / H
         q = np.zeros((MAX_QUADS, 4, 2), np.float32)
+        if len(boxes_px) > MAX_QUADS:
+            # a truncated gt would supervise the dropped text as BACKGROUND
+            # (training against real text); skip oversized functions instead
+            if logger:
+                logger.info(f"skipping {tag}_{int(row._id)}: "
+                            f"{len(boxes_px)} text boxes > MAX_QUADS="
+                            f"{MAX_QUADS}")
+            continue
         n_q = min(len(boxes_px), MAX_QUADS)
         for k, (x0, y0, x1, y1) in enumerate(list(boxes_px.values())[:MAX_QUADS]):
             q[k] = [[x0 * sx, y0 * sy], [x1 * sx, y0 * sy],

@@ -298,6 +298,43 @@ def test_flat_kernel_wide_bias_range():
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-4)
 
 
+def test_flat_kernel_underflow_row_sum_finite():
+    """When scale·(1-cos) + bias range exceeds the fp32 exp underflow (~87),
+    whole rows of exp(s - m) flush to zero. The clamped row sum must keep
+    fwd outputs and bwd grads finite instead of 0/0 NaN (advisor r3)."""
+    import mvuld_tpu.ops.window_attention as wa
+    qkv, bias, scale = _flat_inputs(seed=11)
+    # huge trained scale (clamp limit is 100 in swin_v2) + wide bias: rows
+    # whose best cosine is < 1 fall > 87 below m = scale + max(bias)
+    scale = np.full_like(scale, 95.0)
+    bias = (bias * 10.0).astype(np.float32)
+    out = np.asarray(wa.pallas_window_attention_flat(
+        jnp.asarray(qkv), jnp.asarray(bias), jnp.asarray(scale),
+        interpret=True))
+    assert np.isfinite(out).all(), "fwd NaN under softmax-shift underflow"
+
+    orig_f = wa.pallas_window_attention_flat
+    orig_b = wa.pallas_window_attention_flat_bwd
+    wa.pallas_window_attention_flat = \
+        lambda *a, **kw: orig_f(*a, **{**kw, "interpret": True})
+    wa.pallas_window_attention_flat_bwd = \
+        lambda *a, **kw: orig_b(*a, **{**kw, "interpret": True})
+    try:
+        wa.make_window_attention_flat.cache_clear()
+
+        def loss(a):
+            return (wa.window_attention_flat(*a) ** 2).sum()
+
+        grads = jax.grad(loss)(tuple(map(jnp.asarray, (qkv, bias, scale))))
+    finally:
+        wa.pallas_window_attention_flat = orig_f
+        wa.pallas_window_attention_flat_bwd = orig_b
+        wa.make_window_attention_flat.cache_clear()
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all(), \
+            "bwd NaN/inf under softmax-shift underflow"
+
+
 def test_flat_custom_vjp_gradients_match():
     import mvuld_tpu.ops.window_attention as wa
     qkv, bias, scale = _flat_inputs(seed=4)
