@@ -44,13 +44,18 @@ FUSION_STEPS = int(os.environ.get("MVULD_BENCH_FUSION_STEPS", 8))
 BASELINE_FUNCTIONS_PER_SEC = 40.0
 BASELINE_FUNCTIONS_PER_SEC_TORCH_CPU_MEASURED = 3.81
 SKIP_FUSION = os.environ.get("MVULD_BENCH_SKIP_FUSION", "0") == "1"
-# optional third metric: the END-TO-END tri-modal step (UniXcoder-base +
+# third metric: the END-TO-END tri-modal step (UniXcoder-base +
 # SwinV2-base-448 + fusion head in ONE jitted train step — the "one XLA
-# graph" capability the reference's staged caches cannot express). Off by
-# default to keep the driver bench inside its time budget.
-RUN_E2E = os.environ.get("MVULD_BENCH_E2E", "0") == "1"
+# graph" capability the reference's staged caches cannot express). ON by
+# default since r4 (the r3 number existed only interactively); the budget
+# guard below still skips it if compiles ate the driver's time budget.
+RUN_E2E = os.environ.get("MVULD_BENCH_E2E", "1") == "1"
 E2E_BATCH = int(os.environ.get("MVULD_BENCH_E2E_BATCH", 16))
 E2E_STEPS = int(os.environ.get("MVULD_BENCH_E2E_STEPS", 4))
+# packed per-line encoding (models/e2e.py node_capacity): the corpus mean
+# is ~22 valid lines of 100 slots; capacity 512 = 1.25x the mean valid
+# count per bs-16 batch, /128-aligned (same auto-sizing as train_e2e.py)
+E2E_NODE_CAPACITY = int(os.environ.get("MVULD_BENCH_E2E_CAPACITY", 512))
 # Elapsed-time budget: if the swin bench (incl. any cold compile) already ate
 # this many seconds, skip the fusion bench so the run still emits results
 # before a driver-side timeout can kill it.
@@ -119,10 +124,13 @@ def main() -> None:
         "label": jnp.asarray(data.randint(0, 2, (ITERS, BATCH)), jnp.int32),
     }
 
+    _t_pre = time.time() - _T0                 # model build + init + data
+    _t1 = time.time()
     state, metrics = multi_step(state, superbatch, rng)   # compile + warmup
     losses0 = np.asarray(metrics["loss"])
     assert np.isfinite(losses0).all() and len(set(losses0.tolist())) > 1, \
         "fused steps must do real, distinct work"
+    _t_first = time.time() - _t1               # compile/cache-load + dispatch
 
     def timed():
         t0 = time.perf_counter()
@@ -156,7 +164,14 @@ def main() -> None:
             images_per_sec * flops_per_img / 139e12, 3),
         "batch": BATCH, "fused_steps": ITERS, "remat": REMAT,
         "timings_s": [round(t, 3) for t in times],
+        "timings_mean_s": round(float(np.mean(times)), 3),
+        "timings_std_s": round(float(np.std(times)), 3),
+        # setup split (diagnosable regressions): host-side model/data build
+        # vs the first fused dispatch, which carries compile OR persistent-
+        # cache deserialization + the relay's first-dispatch penalty
         "setup_s": round(time.time() - _T0 - sum(times), 1),
+        "setup_pre_dispatch_s": round(_t_pre, 1),
+        "setup_first_dispatch_s": round(_t_first, 1),
     }
     # Emit the headline metric the moment it exists (flushed) so a timeout
     # during the fusion bench can never lose it (BENCH_r02 postmortem: one
@@ -172,7 +187,10 @@ def main() -> None:
         print(json.dumps(result), flush=True)
 
     if RUN_E2E:
-        result.update(_e2e_bench(jax, jnp, np, rng))
+        if time.time() - _T0 > BUDGET_S:
+            result["e2e_skipped"] = f"budget {BUDGET_S}s exhausted"
+        else:
+            result.update(_e2e_bench(jax, jnp, np, rng))
         print(json.dumps(result), flush=True)
 
 
@@ -225,6 +243,8 @@ def _fusion_bench(jax, jnp, np, cfg, rng):
         times.append(time.perf_counter() - t0)
     fps = FUSION_STEPS * B / min(times)
     return {
+        "fusion_timings_mean_s": round(float(np.mean(times)), 3),
+        "fusion_timings_std_s": round(float(np.std(times)), 3),
         "fusion_functions_per_sec": round(fps, 1),
         "fusion_vs_baseline": round(fps / BASELINE_FUNCTIONS_PER_SEC, 2),
         "fusion_baseline_estimated": True,  # 40 fn/s credited to the ref GPU
@@ -267,21 +287,31 @@ def _e2e_bench(jax, jnp, np, rng):
 
     B, K = E2E_BATCH, E2E_STEPS
     M, Tn, Tf = 100, 64, 512
+    cap = min(E2E_NODE_CAPACITY, B * M) or None
     tc = RobertaConfig(dtype=jnp.bfloat16)
     sc = SwinV2Config(dtype=jnp.bfloat16)
     model = EndToEndMVulD(tc, sc, use_pallas=True, scan_blocks=True,
-                          remat=True)
+                          remat=True, node_capacity=cap)
 
     data = np.random.RandomState(2)
+    # realistic node-count distribution (reference corpora average ~20-25
+    # real statement lines per function, far below the 100-slot padding):
+    # valid counts U(5, 40), pad slots carry the pad id and mask 0 — the
+    # packed encoder only pays for real lines, like the reference
+    # (mvuld/data/data_list.py:292-299)
+    nvalid = data.randint(5, 41, (K, B))
+    node_mask = (np.arange(M)[None, None, :]
+                 < nvalid[..., None]).astype(np.float32)
+    node_ids = data.randint(3, 1000, (K, B, M, Tn))
+    node_ids[node_mask == 0] = 1               # pad_token_id
     sb = {
         "func_ids": jnp.asarray(
             data.randint(3, 1000, (K, B, Tf)), jnp.int32),
-        "node_ids": jnp.asarray(
-            data.randint(3, 1000, (K, B, M, Tn)), jnp.int32),
+        "node_ids": jnp.asarray(node_ids, jnp.int32),
         "image": jnp.asarray(data.randn(K, B, 448, 448, 3), jnp.bfloat16),
         "pos": jnp.asarray(data.rand(K, B, M, 4), jnp.float32),
         "adj": jnp.asarray(np.tile(np.eye(M, dtype=bool), (K, B, 1, 1))),
-        "node_mask": jnp.ones((K, B, M), jnp.float32),
+        "node_mask": jnp.asarray(node_mask),
         "label": jnp.asarray(data.randint(0, 2, (K, B)), jnp.int32),
     }
 
@@ -315,7 +345,10 @@ def _e2e_bench(jax, jnp, np, rng):
         times.append(time.perf_counter() - t0)
     fps = K * B / min(times)
     return {"e2e_functions_per_sec": round(fps, 2), "e2e_batch": B,
-            "e2e_timings_s": [round(t, 3) for t in times]}
+            "e2e_node_capacity": cap,
+            "e2e_timings_s": [round(t, 3) for t in times],
+            "e2e_timings_mean_s": round(float(np.mean(times)), 3),
+            "e2e_timings_std_s": round(float(np.std(times)), 3)}
 
 
 if __name__ == "__main__":

@@ -26,6 +26,16 @@ from mvuld_tpu.models.swin_v2 import SwinTransformerV2, SwinV2Config
 
 
 class EndToEndMVulD(nn.Module):
+    """``node_capacity``: static packed-batch size for the per-line encoder.
+    Real functions fill far fewer than MAX_NODES=100 line slots, and the
+    reference only ever encodes real lines (mvuld/data/data_list.py:292-299);
+    encoding every pad slot would waste most of the text-encoder FLOPs.
+    Valid lines (node_mask > 0) are gathered — original order preserved —
+    into a [node_capacity, Tn] batch, encoded once, and scattered back to
+    [B, N, H]. Lines beyond capacity get a zero embedding (masked overflow —
+    size the capacity from the corpus node-count distribution). ``None``
+    disables packing (every slot encoded — the parity reference path)."""
+
     text_config: RobertaConfig
     swin_config: SwinV2Config
     hidden: int = 512
@@ -35,6 +45,7 @@ class EndToEndMVulD(nn.Module):
     use_pallas: bool = False
     scan_blocks: bool = False
     remat: bool = False
+    node_capacity: int | None = None
 
     @nn.compact
     def __call__(self, func_ids, node_ids, image, pos, adj, node_mask,
@@ -50,10 +61,25 @@ class EndToEndMVulD(nn.Module):
         # per-line node embeddings through the SAME encoder
         B, N, Tn = node_ids.shape
         flat = node_ids.reshape(B * N, Tn)
-        nmask = (flat != tc.pad_token_id).astype(jnp.int32)
-        ntok = encoder(flat, nmask, deterministic=not train)
-        node_emb = masked_mean(ntok, nmask).reshape(B, N, -1)    # [B, N, H]
-        node_emb = node_emb * node_mask[..., None]
+        valid = node_mask.reshape(B * N) > 0
+        if self.node_capacity is not None and self.node_capacity < B * N:
+            P = self.node_capacity
+            # stable sort brings valid lines to the front in original order
+            order = jnp.argsort(jnp.logical_not(valid))
+            sel = order[:P]
+            took = valid[sel].astype(jnp.float32)
+            packed = flat[sel]                                   # [P, Tn]
+            pmask = (packed != tc.pad_token_id).astype(jnp.int32)
+            ptok = encoder(packed, pmask, deterministic=not train)
+            pemb = masked_mean(ptok, pmask) * took[..., None]
+            node_flat = jnp.zeros((B * N, pemb.shape[-1]), pemb.dtype)
+            node_flat = node_flat.at[sel].set(pemb)
+            node_emb = node_flat.reshape(B, N, -1)
+        else:
+            nmask = (flat != tc.pad_token_id).astype(jnp.int32)
+            ntok = encoder(flat, nmask, deterministic=not train)
+            node_emb = masked_mean(ntok, nmask).reshape(B, N, -1)
+        node_emb = node_emb * node_mask[..., None]               # [B, N, H]
 
         # image embedding
         img_emb = SwinTransformerV2(

@@ -70,6 +70,11 @@ def main(argv=None) -> dict:
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--data", default=None)
     parser.add_argument("--batch-size", dest="batch_size", type=int)
+    parser.add_argument(
+        "--node-capacity", dest="node_capacity", type=int, default=-1,
+        help="static packed size for the per-line encoder: -1 auto-sizes "
+             "from the train split (1.25x mean valid lines per batch, "
+             "rounded up to 128), 0 disables packing (encode every slot)")
     parser.add_argument("--output", default=None)
     parser.add_argument("--opts", nargs="+", default=None)
     args = parser.parse_args(argv)
@@ -124,11 +129,26 @@ def main(argv=None) -> dict:
         max_position_embeddings=u.MAX_POSITIONS,
         dtype=jnp.bfloat16 if cfg.PARALLEL.DTYPE == "bfloat16" else jnp.float32)
     scfg = SwinV2Config.from_cfg(cfg)
+    B = cfg.DATA.BATCH_SIZE
+    max_nodes = datasets["train"].columns["node_mask"].shape[1]
+    if args.node_capacity < 0:
+        # auto: 1.25x the mean valid-line count per batch, /128-aligned —
+        # overflow (zero-embedded lines) stays rare while pad slots are
+        # never paid for (reference encodes only real lines,
+        # mvuld/data/data_list.py:292-299)
+        mean_valid = float(datasets["train"].columns["node_mask"].sum(1).mean())
+        cap = int(np.ceil(1.25 * B * max(mean_valid, 1.0) / 128) * 128)
+        node_capacity = min(cap, B * max_nodes)
+    else:
+        node_capacity = min(args.node_capacity, B * max_nodes) or None
+    logger.info(f"node-line packing capacity: {node_capacity} "
+                f"(of {B * max_nodes} slots)")
     model = EndToEndMVulD(rcfg, scfg, hidden=cfg.MODEL.MULTI.HIDDEN,
                           num_classes=cfg.MODEL.NUM_CLASSES,
                           num_rs_gcn=cfg.MODEL.MULTI.NUM_RS_GCN,
                           num_hidden=cfg.MODEL.MULTI.NUM_HIDDEN_FC,
-                          remat=cfg.TRAIN.USE_CHECKPOINT)
+                          remat=cfg.TRAIN.USE_CHECKPOINT,
+                          node_capacity=node_capacity)
 
     ex = datasets["train"].get(0)
     init_args = {k: jnp.asarray(v)[None] for k, v in ex.items() if k != "label"}

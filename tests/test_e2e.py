@@ -92,6 +92,47 @@ def test_e2e_remat_train_grad():
                                grads["text_encoder"]))) >= 0
 
 
+def test_e2e_node_packing_parity():
+    """Packed per-line encoding (gather valid lines -> encode -> scatter)
+    must equal the unpacked path when capacity covers every valid line: the
+    per-line computation is batch-independent, so only pad slots (masked to
+    zero in both paths) are skipped."""
+    b = _batch(B=3, N=6)
+    # ragged validity: rows have 2, 6, 4 real lines
+    b["node_mask"] = np.zeros((3, 6), np.float32)
+    for i, n in enumerate((2, 6, 4)):
+        b["node_mask"][i, :n] = 1.0
+    b["node_ids"][b["node_mask"] == 0] = 1       # pad id on invalid slots
+    args = {k: jnp.asarray(v) for k, v in b.items() if k != "label"}
+
+    ref = EndToEndMVulD(TEXT, SWIN, hidden=64, num_rs_gcn=1, num_hidden=1)
+    variables = ref.init(jax.random.PRNGKey(0), **args, train=False)
+    want = ref.apply(variables, **args, train=False)
+
+    packed = EndToEndMVulD(TEXT, SWIN, hidden=64, num_rs_gcn=1, num_hidden=1,
+                           node_capacity=16)     # 12 valid of 18 slots
+    got = packed.apply(variables, **args, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    # under-capacity: overflow lines are zero-embedded; output stays finite
+    # and gradients still reach the text encoder through the packed gather
+    tight = EndToEndMVulD(TEXT, SWIN, hidden=64, num_rs_gcn=1, num_hidden=1,
+                          node_capacity=8)
+
+    def loss_fn(params):
+        out = tight.apply(
+            {"params": params,
+             "batch_stats": variables.get("batch_stats", {})},
+            **args, train=False)
+        return (out ** 2).sum()
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    gsum = sum(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda g: float(jnp.abs(g).sum()), grads["text_encoder"])))
+    assert np.isfinite(gsum) and gsum > 0
+
+
 def test_e2e_training_reduces_loss():
     model = EndToEndMVulD(TEXT, SWIN, hidden=64, num_rs_gcn=1, num_hidden=1)
     b = _batch(B=8)
