@@ -127,5 +127,77 @@ def measure(batch: int = 4, nodes: int = 100, steps: int = 30,
     }
 
 
+def measure_swin(batch: int = 4, img: int = 448, steps: int = 2,
+                 warmup: int = 1) -> dict:
+    """Measure the REFERENCE SwinV2-Base-448 fine-tune step on torch CPU.
+
+    Grounds bench.py's image-side baseline the same way ``measure`` grounds
+    the fusion side: instantiates the reference's own model
+    (/root/reference/mvuld/models/swin_transformer_v2.py:503) at the paper's
+    fine-tune config (configs/mySwin/swinv2_base_patch4_window24to28_
+    384to448_1ktoMYDATA_ft.yaml: embed 128, depths [2,2,18,2], heads
+    [4,8,16,32], window 28, drop-path 0.2) and published batch size 4
+    (main.py --batch-size default), and times the full training step —
+    forward, CrossEntropy(label_smoothing=0.1), backward, AdamW.
+
+    The timm DropPath stub is an identity (the parity tests' stub), which
+    can only make the reference FASTER — the resulting speedup multiplier
+    understates rather than inflates.
+    """
+    import numpy as np
+    import torch
+
+    torch.manual_seed(0)
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    sys.path.insert(0, os.path.join(repo, "tests"))
+    import test_swin_v2 as tsv
+
+    injected = tsv._stub_timm()
+    sys.path.insert(0, "/root/reference/mvuld/models")
+    import importlib
+    ref_mod = importlib.import_module("swin_transformer_v2")
+    model = ref_mod.SwinTransformerV2(
+        img_size=img, patch_size=4, in_chans=3, num_classes=2,
+        embed_dim=128, depths=[2, 2, 18, 2], num_heads=[4, 8, 16, 32],
+        window_size=28, drop_path_rate=0.2,
+        pretrained_window_sizes=[12, 12, 12, 6])
+    model.train()
+
+    rng = np.random.RandomState(0)
+    x = torch.tensor(rng.randn(batch, 3, img, img).astype(np.float32))
+    labels = torch.tensor(rng.randint(0, 2, batch))
+    opt = torch.optim.AdamW(model.parameters(), lr=1e-5, weight_decay=0.05)
+    crit = torch.nn.CrossEntropyLoss(label_smoothing=0.1)
+
+    def step():
+        opt.zero_grad()
+        loss = crit(model(x), labels)
+        loss.backward()
+        opt.step()
+        return float(loss.detach())
+
+    for _ in range(warmup):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        step()
+    dt = time.perf_counter() - t0
+
+    for name in injected:
+        sys.modules.pop(name, None)
+    return {
+        "metric": "reference_swinv2_base_448_train_images_per_sec_torch_cpu",
+        "images_per_sec": round(steps * batch / dt, 3),
+        "batch": batch, "img_size": img, "steps": steps,
+        "sec_per_step": round(dt / steps, 2),
+        "torch": torch.__version__, "device": "cpu",
+        "cpu_threads": torch.get_num_threads(),
+    }
+
+
 if __name__ == "__main__":
-    print(json.dumps(measure()))
+    if "--swin" in sys.argv:
+        print(json.dumps(measure_swin()))
+    else:
+        print(json.dumps(measure()))
