@@ -172,6 +172,83 @@ def evaluate_hmean(model, params, batch_stats, images, quads, nquads,
     return evaluate_dataset(per_image)
 
 
+def evaluate_recovery(model, params, batch_stats, n_funcs: int, seed: int,
+                      style, cache: str, logger=None) -> dict:
+    """End-to-end line-number recovery on ORIGINAL rendered PNGs.
+
+    The production path the reference cares about is detect → crop →
+    read line number → norm_pos dict (OCR/detect.py:285-353 + Tesseract).
+    H-mean only scores the boxes; this scores the full chain: a gt node
+    counts as RECOVERED iff its line number appears in the extracted
+    norm_pos dict AND the recovered box's center falls inside the gt box.
+    Runs on the natively-sized render (no canvas resize), exactly like
+    tools' detect_dataset_map consumption.
+    """
+    from PIL import Image
+
+    from mvuld_tpu.ocr.detect import detect_image
+    from mvuld_tpu.ocr.recognize import LinenoReader
+    from mvuld_tpu.tools.cpg import extract_line_cpg
+    from mvuld_tpu.tools.render import layout, render_cpg
+    from mvuld_tpu.tools.synthetic import generate_dataset
+
+    import jax.numpy as jnp
+
+    def apply_fn(p, x):
+        return model.apply({"params": p, "batch_stats": batch_stats},
+                           jnp.asarray(x), train=False)
+
+    reader = LinenoReader()
+    df = generate_dataset(n_funcs, seed=seed)
+    total_gt = recovered = wrong_lineno = extra = 0
+    n_imgs = 0
+    os.makedirs(cache, exist_ok=True)
+    for _, row in df.iterrows():
+        cpg = extract_line_cpg(row.func_before)
+        if cpg is None:
+            continue
+        g = cpg.filtered("all")
+        if len(g.nodes) < 2 or len(g.nodes) > MAX_QUADS:
+            continue
+        img, _ = render_cpg(g, out_path=None, style=style)
+        gt_boxes = layout(g, style)               # {lineno: (x0,y0,x1,y1)}
+        n_imgs += 1
+        total_gt += len(gt_boxes)
+        boxes = detect_image(apply_fn, params, img)
+        pos = {}
+        if boxes is not None:
+            W, H = img.size
+            for b in boxes:
+                xs, ys = b[0:8:2], b[1:8:2]
+                x0, x1 = float(xs.min()), float(xs.max())
+                y0, y1 = float(ys.min()), float(ys.max())
+                pad = 2
+                crop = img.crop((max(x0 - pad, 0), max(y0 - pad, 0),
+                                 min(x1 + pad, W), min(y1 + pad, H)))
+                lineno = reader.read(crop)
+                if lineno is not None:
+                    pos[lineno] = (x0, y0, x1, y1)
+        for lineno, (gx0, gy0, gx1, gy1) in gt_boxes.items():
+            if lineno not in pos:
+                continue
+            x0, y0, x1, y1 = pos[lineno]
+            cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+            if gx0 <= cx <= gx1 and gy0 <= cy <= gy1:
+                recovered += 1
+            else:
+                wrong_lineno += 1
+        extra += sum(1 for ln in pos if ln not in gt_boxes)
+    out = {
+        "images": n_imgs, "gt_nodes": total_gt,
+        "recovered": recovered,
+        "recovery_rate": round(recovered / max(total_gt, 1), 4),
+        "misplaced": wrong_lineno, "spurious_linenos": extra,
+    }
+    if logger:
+        logger.info(f"lineno recovery: {out}")
+    return out
+
+
 def main(argv=None) -> dict:
     parser = argparse.ArgumentParser()
     parser.add_argument("--synthetic", type=int, default=100)
@@ -187,6 +264,9 @@ def main(argv=None) -> dict:
                         help="render M extra functions for detection eval")
     parser.add_argument("--eval-style", choices=["default", "heldout"],
                         default="default")
+    parser.add_argument("--eval-recovery", type=int, default=0,
+                        help="run detect→recognize line-number recovery on N "
+                             "natively-rendered eval functions")
     parser.add_argument("--out-dir", default="runs/east")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
@@ -272,6 +352,15 @@ def main(argv=None) -> dict:
                                  ev_quads, ev_nq, args.img_size)
         logger.info(f"detection eval ({args.eval_style} style): {metrics}")
         result["eval"] = metrics
+
+    if args.eval_recovery:
+        from mvuld_tpu.tools.render import DEFAULT_STYLE, HELD_OUT_STYLE
+        style = (HELD_OUT_STYLE if args.eval_style == "heldout"
+                 else DEFAULT_STYLE)
+        result["recovery"] = evaluate_recovery(
+            model, params, batch_stats, args.eval_recovery,
+            args.seed + 20_000, style, os.path.join(args.out_dir, "corpus"),
+            logger)
     return result
 
 
