@@ -35,6 +35,15 @@ BASELINE_IMAGES_PER_SEC = 10.0  # GPU ESTIMATE — reference publishes no number
 BASELINE_IMAGES_PER_SEC_TORCH_CPU_MEASURED = 0.039
 # env overrides allow sweep runs without editing the committed protocol
 BATCH = int(os.environ.get("MVULD_BENCH_BATCH", 64))
+# fused Pallas MLP+LN (ops/fused_dense.py mlp_ln) for the block second half.
+# Its bwd kernel holds both weight mats + fp32 grad accumulators in VMEM
+# (~21 MB at C=512): when XLA wraps the custom call into a fusion the
+# per-call vmem_limit_bytes is dropped and the default 16 MB scoped limit
+# applies, so raise the global scoped-VMEM limit BEFORE jax initializes.
+FUSED_MLP = os.environ.get("MVULD_BENCH_FUSED_MLP", "0") == "1"
+if FUSED_MLP:
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                               " --xla_tpu_scoped_vmem_limit_kib=28672")
 ITERS = int(os.environ.get("MVULD_BENCH_ITERS", 8))
 REMAT = os.environ.get("MVULD_BENCH_REMAT", "1") == "1"
 REPEATS = int(os.environ.get("MVULD_BENCH_REPEATS", 3))
@@ -103,7 +112,8 @@ def main() -> None:
         use_pallas=True,
         save_qkv_in_remat=os.environ.get("MVULD_BENCH_SAVE_QKV", "0") == "1",
         window_resident=os.environ.get(
-            "MVULD_BENCH_WINDOW_RESIDENT", "0") == "1")
+            "MVULD_BENCH_WINDOW_RESIDENT", "0") == "1",
+        use_pallas_mlp=FUSED_MLP)
 
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((BATCH, 448, 448, 3), jnp.float32)

@@ -274,6 +274,44 @@ class MlpBlock(nn.Module):
         return x
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense's params (same names/shapes/inits) WITHOUT the
+    matmul — the fused Pallas MLP consumes the raw weights, but checkpoints
+    and converters must see an identical parameter tree."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.linear.default_kernel_init,
+                       (in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _MlpParams(nn.Module):
+    """MlpBlock's parameter tree (mlp/fc1, mlp/fc2) as raw weights."""
+
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        w1, b1 = _DenseParams(self.hidden, name="fc1")(in_features)
+        w2, b2 = _DenseParams(self.out, name="fc2")(self.hidden)
+        return w1, b1, w2, b2
+
+
+class _LNParams(nn.Module):
+    """nn.LayerNorm's parameter pair (scale, bias) as raw weights."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        return scale, bias
+
+
 class WindowAttentionV2(nn.Module):
     """SwinV2 cosine window attention with log-CPB continuous bias
     (reference: swin_transformer_v2.py WindowAttention:60-196)."""
@@ -448,6 +486,36 @@ class SwinBlockV2(nn.Module):
     # two composed reverse∘roll∘partition regroups — instead of the
     # spatial path's partition+reverse+2·roll per block
     window_resident: bool = False
+    # fused Pallas MLP+LN (ops/fused_dense.py mlp_ln): fc1+GELU+fc2+norm2 in
+    # one kernel pass; the [M, 4C] hidden never touches HBM. Applies when
+    # dropout is 0 and the weights fit VMEM (C ≤ 512 — stage 4's 1024-dim
+    # block stays on the XLA path, which is efficient at K=1024)
+    use_pallas_mlp: bool = False
+
+    def _mlp_half(self, x, deterministic, drop_path_rate, batch_repeat=1):
+        """x + DropPath(LN(MLP(x))) — the post-norm second half of the
+        block (reference swin_transformer_v2.py:310-315)."""
+        C = x.shape[-1]
+        hidden = int(C * self.mlp_ratio)
+        if self.use_pallas_mlp and self.drop == 0.0 and C <= 512:
+            from mvuld_tpu.ops.fused_dense import mlp_ln
+            w1, b1, w2, b2 = _MlpParams(hidden, C, name="mlp")(C)
+            gamma, beta = _LNParams(name="norm2")(C)
+            interpret = bool(self.pallas_opts and self.pallas_opts.interpret)
+            y = mlp_ln(x, w1, b1, w2, b2, gamma, beta, interpret)
+            # named for the remat policy: the fused op's custom VJP already
+            # recomputes h/z internally from x, so re-running the FORWARD
+            # kernel inside the bwd (what jax.checkpoint would do when this
+            # output is unsaved) is pure waste — saving [M, C] here costs
+            # one bf16 activation and removes a whole fwd kernel pass
+            y = checkpoint_name(y, "mlp_out")
+        else:
+            y = MlpBlock(hidden, C, self.drop, dtype=self.dtype,
+                         name="mlp")(x, deterministic)
+            y = nn.LayerNorm(dtype=self.dtype, name="norm2")(y)
+        return x + DropPath(self.drop_path, name="drop_path2")(
+            y, deterministic, rate=drop_path_rate,
+            batch_repeat=batch_repeat)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
@@ -483,12 +551,7 @@ class SwinBlockV2(nn.Module):
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(
             x, deterministic, rate=drop_path_rate)
 
-        y = MlpBlock(int(C * self.mlp_ratio), C, self.drop, dtype=self.dtype,
-                     name="mlp")(x, deterministic)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(y)
-        x = x + DropPath(self.drop_path, name="drop_path2")(
-            y, deterministic, rate=drop_path_rate)
-        return x
+        return self._mlp_half(x, deterministic, drop_path_rate)
 
     def _window_resident_call(self, x, window, shift, Hr, Wr, deterministic,
                               drop_path_rate):
@@ -514,13 +577,8 @@ class SwinBlockV2(nn.Module):
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(
             xa, deterministic, rate=drop_path_rate, batch_repeat=nW)
 
-        C = x.shape[-1]
-        y = MlpBlock(int(C * self.mlp_ratio), C, self.drop, dtype=self.dtype,
-                     name="mlp")(x, deterministic)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(y)
-        x = x + DropPath(self.drop_path, name="drop_path2")(
-            y, deterministic, rate=drop_path_rate, batch_repeat=nW)
-        return x
+        return self._mlp_half(x, deterministic, drop_path_rate,
+                               batch_repeat=nW)
 
 
 class BlockPair(nn.Module):
@@ -542,6 +600,7 @@ class BlockPair(nn.Module):
     use_pallas: bool = False
     pallas_opts: Optional[PallasOpts] = None
     window_resident: bool = False
+    use_pallas_mlp: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, dp_rates: jnp.ndarray,
@@ -553,7 +612,8 @@ class BlockPair(nn.Module):
                       pretrained_window_size=self.pretrained_window_size,
                       dtype=self.dtype, use_pallas=self.use_pallas,
                       pallas_opts=self.pallas_opts,
-                      window_resident=self.window_resident)
+                      window_resident=self.window_resident,
+                      use_pallas_mlp=self.use_pallas_mlp)
         x = SwinBlockV2(**common, shift_size=0, name="block0")(
             x, deterministic, drop_path_rate=dp_rates[0])
         x = SwinBlockV2(**common, shift_size=self.window_size // 2,
@@ -628,6 +688,9 @@ class SwinTransformerV2(nn.Module):
     # roll passes. Numerically identical (token-local LN/MLP/residuals are
     # layout-invariant; DropPath repeats its per-image mask across windows).
     window_resident: bool = False
+    # fused Pallas MLP+LN kernel for the block's second half (stages with
+    # C ≤ 512); see SwinBlockV2.use_pallas_mlp
+    use_pallas_mlp: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
@@ -656,6 +719,10 @@ class SwinTransformerV2(nn.Module):
                        if self.save_attn_in_remat else [])
         if self.save_qkv_in_remat:
             saved_names.append("qkv")
+        if self.use_pallas_mlp:
+            # the fused-MLP custom VJP recomputes internally; without this
+            # save the remat wrapper would run the fwd kernel a second time
+            saved_names.append("mlp_out")
         remat_policy = (
             jax.checkpoint_policies.save_only_these_names(*saved_names)
             if saved_names else None)
@@ -698,6 +765,7 @@ class SwinTransformerV2(nn.Module):
                     pretrained_window_size=c.pretrained_window_sizes[i_layer],
                     dtype=c.dtype, use_pallas=self.use_pallas,
                     pallas_opts=self.pallas_opts, window_resident=wres,
+                    use_pallas_mlp=self.use_pallas_mlp,
                     name=f"layers_{i_layer}_scan")
                 x, _ = scanned(x, rates, deterministic)
                 block_idx += depth
@@ -713,6 +781,7 @@ class SwinTransformerV2(nn.Module):
                         pretrained_window_size=c.pretrained_window_sizes[i_layer],
                         dtype=c.dtype, use_pallas=self.use_pallas,
                         pallas_opts=self.pallas_opts, window_resident=wres,
+                        use_pallas_mlp=self.use_pallas_mlp,
                         name=f"layers_{i_layer}_blocks_{i_block}")(x, deterministic)
                     block_idx += 1
             if wres:

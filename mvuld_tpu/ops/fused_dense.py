@@ -35,13 +35,33 @@ from jax.experimental.pallas import tpu as pltpu
 _LN_EPS = 1e-6
 
 
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (|err| ≤ 1.5e-7): Mosaic has no
+    erf/erfc lowering, and 1.5e-7 is ~4 decades below bf16 output rounding."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu(z):
+    # EXACT-erf GELU — the model uses nn.gelu(approximate=False)
+    # (models/swin_v2.py MlpBlock), matching the reference's torch nn.GELU.
+    # jax.nn.gelu(approximate=False) lowers to erfc, which Pallas TPU lacks,
+    # so the erf is inlined (A&S polynomial, negligible vs bf16 rounding).
+    return 0.5 * z * (1.0 + _erf(z * 0.7071067811865476))
+
+
 # ---------------------------------------------------------------- forward
 
 def _fwd_kernel(x_ref, w_ref, b_ref, g_ref, bt_ref, o_ref, *, act, ln):
     z = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.float32)
     z = z + b_ref[:].astype(jnp.float32)
     if act == "gelu":
-        z = jax.nn.gelu(z)
+        z = _gelu(z)
     if ln:
         mu = jnp.mean(z, axis=-1, keepdims=True)
         zc = z - mu
@@ -102,7 +122,7 @@ def _bwd_kernel(x_ref, w_ref, b_ref, g_ref, dy_ref, dz_ref, vecs_ref,
     dy = dy_ref[:].astype(jnp.float32)
     dgamma = dbeta = None
     if act == "gelu":
-        h, act_vjp = jax.vjp(jax.nn.gelu, z)
+        h, act_vjp = jax.vjp(_gelu, z)
         z_post = h
     else:
         z_post = z
@@ -270,3 +290,207 @@ def dense_ln(x, w, b, gamma, beta, act: str = "none",
     """LayerNorm(act(x @ w + b)) * gamma + beta — the SwinV2 post-norm
     pattern (proj+norm1, fc2+norm2) in one weight-stationary kernel."""
     return _fused_dense(x, w, b, gamma, beta, act, True, interpret)
+
+
+# ------------------------------------------------- fused MLP block (+ LN)
+
+def _mlp_fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, bt_ref,
+                    o_ref):
+    """y = LN(GELU(x@w1+b1)@w2+b2)·gamma+beta for one M-tile, entirely in
+    VMEM: the [TM, Hd] intermediate never touches HBM (the r4 profile put
+    28.6 ms/step in the XLA remat recompute writing it back, fusion.4117)."""
+    h = jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
+    h = _gelu(h + b1_ref[:].astype(jnp.float32))
+    z = jnp.dot(h.astype(x_ref.dtype), w2_ref[:],
+                preferred_element_type=jnp.float32)
+    z = z + b2_ref[:].astype(jnp.float32)
+    mu = jnp.mean(z, axis=-1, keepdims=True)
+    zc = z - mu
+    var = jnp.mean(zc * zc, axis=-1, keepdims=True)
+    y = zc * jax.lax.rsqrt(var + _LN_EPS)
+    y = y * g_ref[:].astype(jnp.float32) + bt_ref[:].astype(jnp.float32)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+def _mlp_bwd_kernel(x_ref, dy_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
+                    w1t_ref, w2t_ref,
+                    dx_ref, dw1_ref, dw2_ref, vh_ref, vc_ref,
+                    dw1_acc, dw2_acc, vh_acc, vc_acc):
+    """One-pass backward for the fused MLP+LN: recompute h/z for this
+    M-tile in VMEM, run the LN→fc2→GELU→fc1 chain backward, accumulate
+    dW1/dW2/db1/db2/dgamma/dbeta in VMEM scratch across the grid, and
+    write only dx to HBM."""
+    i = pl.program_id(0)
+    x = x_ref[:]
+    dy = dy_ref[:].astype(jnp.float32)
+    h_pre = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
+    h_pre = h_pre + b1_ref[:].astype(jnp.float32)
+    h, gelu_vjp = jax.vjp(_gelu, h_pre)
+    hb = h.astype(x.dtype)
+    z = jnp.dot(hb, w2_ref[:], preferred_element_type=jnp.float32)
+    z = z + b2_ref[:].astype(jnp.float32)
+    mu = jnp.mean(z, axis=-1, keepdims=True)
+    zc = z - mu
+    var = jnp.mean(zc * zc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + _LN_EPS)
+    zhat = zc * rstd
+
+    g = g_ref[:].astype(jnp.float32)
+    dgamma = jnp.sum(dy * zhat, axis=0, keepdims=True)
+    dbeta = jnp.sum(dy, axis=0, keepdims=True)
+    dyg = dy * g
+    m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyg * zhat, axis=-1, keepdims=True)
+    dz = (dyg - m1 - zhat * m2) * rstd
+    db2 = jnp.sum(dz, axis=0, keepdims=True)
+
+    dzb = dz.astype(x.dtype)
+    dh = jnp.dot(dzb, w2t_ref[:], preferred_element_type=jnp.float32)
+    (dh_pre,) = gelu_vjp(dh)
+    db1 = jnp.sum(dh_pre, axis=0, keepdims=True)
+    dhb = dh_pre.astype(x.dtype)
+    dx_ref[:] = jnp.dot(dhb, w1t_ref[:],
+                        preferred_element_type=jnp.float32).astype(
+                            dx_ref.dtype)
+
+    # parameter-grad partials, contracted over the tile's M rows
+    dw2_part = jax.lax.dot_general(hb, dzb, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    dw1_part = jax.lax.dot_general(x, dhb, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _init():
+        dw1_acc[:] = jnp.zeros_like(dw1_acc)
+        dw2_acc[:] = jnp.zeros_like(dw2_acc)
+        vh_acc[:] = jnp.zeros_like(vh_acc)
+        vc_acc[:] = jnp.zeros_like(vc_acc)
+
+    dw1_acc[:] = dw1_acc[:] + dw1_part
+    dw2_acc[:] = dw2_acc[:] + dw2_part
+    vh_acc[:] = vh_acc[:] + db1
+    vc_acc[:] = vc_acc[:] + jnp.concatenate([db2, dgamma, dbeta], axis=0)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _emit():
+        dw1_ref[:] = dw1_acc[:]
+        dw2_ref[:] = dw2_acc[:]
+        vh_ref[:] = vh_acc[:]
+        vc_ref[:] = vc_acc[:]
+
+
+def _mlp_vmem_bytes(tm, C, Hd):
+    weights = 2 * 2 * C * Hd * 2 * 2          # w1,w2 (+transposes) ×dbuf-ish
+    accs = 2 * C * Hd * 4
+    tiles = tm * (C * 4 + Hd * 4) * 4
+    return weights + accs + tiles
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def mlp_ln(x, w1, b1, w2, b2, gamma, beta, interpret=False):
+    """LayerNorm(MLP(x)) — SwinBlockV2's entire second half
+    (models/swin_v2.py:486-489; reference Mlp + norm2,
+    swin_transformer_v2.py:140-179,310-315) as ONE fused op: forward and
+    backward each make a single pass over HBM; the [M, 4C] hidden
+    activation lives only in VMEM. Dropout-free path (DROP_RATE=0 in the
+    fine-tune configs); DropPath/residual stay outside."""
+    return _mlp_ln_fwd(x, w1, b1, w2, b2, gamma, beta, interpret)[0]
+
+
+def _mlp_tile(M, C, Hd):
+    for tm in (256, 128, 64, 32, 16):
+        if _mlp_vmem_bytes(tm, C, Hd) < 100 * 2 ** 20:
+            return tm
+    return 16
+
+
+def _mlp_ln_fwd(x, w1, b1, w2, b2, gamma, beta, interpret):
+    C, Hd = w1.shape
+    lead = x.shape[:-1]
+    tm = _mlp_tile(int(np.prod(lead)), C, Hd)
+    x2, M = _pad_rows(x.reshape(-1, C), tm)
+    num_m = x2.shape[0] // tm
+    w1b, w2b = w1.astype(x.dtype), w2.astype(x.dtype)
+    row = lambda v: v.reshape(1, -1)          # noqa: E731
+    y = pl.pallas_call(
+        _mlp_fwd_kernel,
+        grid=(num_m,),
+        in_specs=[
+            pl.BlockSpec((tm, C), lambda m: (m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Hd), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hd), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hd, C), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda m: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, C), lambda m: (m, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((x2.shape[0], C), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * M * C * Hd,
+            bytes_accessed=2 * M * C * 2 + 2 * C * Hd * 2,
+            transcendentals=M * Hd),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2 ** 20),
+    )(x2, w1b, row(b1), w2b, row(b2), row(gamma), row(beta))
+    return y[:M].reshape(*lead, C), (x, w1, b1, w2, b2, gamma)
+
+
+def _mlp_ln_bwd(interpret, res, dy):
+    x, w1, b1, w2, b2, gamma = res
+    C, Hd = w1.shape
+    lead = x.shape[:-1]
+    tm = _mlp_tile(int(np.prod(lead)), C, Hd)
+    x2, M = _pad_rows(x.reshape(-1, C), tm)
+    dy2, _ = _pad_rows(dy.reshape(-1, C).astype(x.dtype), tm)
+    num_m = x2.shape[0] // tm
+    w1b, w2b = w1.astype(x.dtype), w2.astype(x.dtype)
+    row = lambda v: v.reshape(1, -1)          # noqa: E731
+    const = lambda spec: pl.BlockSpec(spec, lambda m: (0,) * len(spec),  # noqa: E731
+                                      memory_space=pltpu.VMEM)
+    dx, dw1, dw2, vh, vc = pl.pallas_call(
+        _mlp_bwd_kernel,
+        grid=(num_m,),
+        in_specs=[
+            pl.BlockSpec((tm, C), lambda m: (m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, C), lambda m: (m, 0), memory_space=pltpu.VMEM),
+            const((C, Hd)), const((1, Hd)), const((Hd, C)), const((1, C)),
+            const((1, C)), const((Hd, C)), const((C, Hd)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, C), lambda m: (m, 0), memory_space=pltpu.VMEM),
+            const((C, Hd)), const((Hd, C)), const((1, Hd)), const((3, C)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((x2.shape[0], C), x.dtype),
+            jax.ShapeDtypeStruct((C, Hd), jnp.float32),
+            jax.ShapeDtypeStruct((Hd, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, Hd), jnp.float32),
+            jax.ShapeDtypeStruct((3, C), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((C, Hd), jnp.float32),
+            pltpu.VMEM((Hd, C), jnp.float32),
+            pltpu.VMEM((1, Hd), jnp.float32),
+            pltpu.VMEM((3, C), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=12 * M * C * Hd,
+            bytes_accessed=3 * M * C * 2 + 4 * C * Hd * 2,
+            transcendentals=2 * M * Hd),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2 ** 20),
+    )(x2, dy2, w1b, row(b1), w2b, row(b2), row(gamma),
+      jnp.swapaxes(w1b, 0, 1), jnp.swapaxes(w2b, 0, 1))
+    dx = dx[:M].reshape(x.shape)
+    return (dx, dw1.astype(w1.dtype), vh[0].astype(b1.dtype),
+            dw2.astype(w2.dtype), vc[0].astype(b2.dtype),
+            vc[1].astype(gamma.dtype), vc[2].astype(gamma.dtype))
+
+
+mlp_ln.defvjp(_mlp_ln_fwd, _mlp_ln_bwd)

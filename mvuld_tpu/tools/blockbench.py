@@ -24,7 +24,8 @@ import json
 import time
 
 
-def build_mlp_ln(variant: str, M: int, C: int = 512, Hd: int = 2048):
+def build_mlp_ln(variant: str, M: int, C: int = 512, Hd: int = 2048,
+                 remat: bool = False):
     """Return (step_fn, params, x0, flops_per_iter) for the post-norm MLP
     residual sub-block  x + LN(GELU(x@W1+b1)@W2+b2)  — the exact math of
     SwinBlockV2's second half (models/swin_v2.py:488-492)."""
@@ -76,21 +77,33 @@ def build_mlp_ln(variant: str, M: int, C: int = 512, Hd: int = 2048):
             from mvuld_tpu.ops.fused_dense import dense_act, dense_ln
             h = dense_act(x, p["w1"], p["b1"], act="gelu")
             y = dense_ln(h, p["w2"], p["b2"], p["gamma"], p["beta"])
+        elif variant == "v4":          # single fused MLP+LN kernel
+            from mvuld_tpu.ops.fused_dense import mlp_ln
+            y = mlp_ln(x, p["w1"], p["b1"], p["w2"], p["b2"], p["gamma"],
+                       p["beta"], False)
         else:
             raise ValueError(variant)
         return x + y.astype(jnp.bfloat16)
 
-    def loss_fn(p, x):
-        return mlp(p, x).astype(jnp.float32).sum() * 1e-6
+    block = jax.checkpoint(mlp) if remat else mlp
 
-    grad_fn = jax.value_and_grad(loss_fn)
+    def loss_fn(p, x):
+        return block(p, x).astype(jnp.float32).sum() * 1e-6
+
+    # grads w.r.t. params AND x — in the model the residual stream carries
+    # dx through every block, so a kernel comparison must include it
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1))
 
     def fwd_bwd_iter(carry, _):
         p, x = carry
-        loss, g = grad_fn(p, x)
-        # feed the gradient signal back into x so iterations are data-
-        # dependent (no overlap-hiding across scan steps beyond pipelining)
-        x = mlp(p, x) + loss.astype(jnp.bfloat16)
+        loss, (gp, gx) = grad_fn(p, x)
+        # the GRADIENTS must feed the carry, or XLA dead-code-eliminates the
+        # whole backward pass (and CSEs the loss's forward with the chain's):
+        # fold every grad leaf into x so nothing is removable
+        gsum = sum(jnp.sum(v.astype(jnp.float32)) for v in gp.values())
+        x = x + gx.astype(jnp.bfloat16) * 1e-9 \
+            + (loss + gsum).astype(jnp.bfloat16) * 1e-9 \
+            + gp["b2"].astype(jnp.bfloat16)[None, :] * 1e-9
         return (p, x), loss
 
     def fwd_iter(carry, _):
@@ -102,15 +115,19 @@ def build_mlp_ln(variant: str, M: int, C: int = 512, Hd: int = 2048):
 
 
 def run_variant(variant: str, M: int, iters: int, mode: str,
-                repeats: int = 3) -> dict:
+                repeats: int = 3, C: int = 512, Hd: int = 2048,
+                remat: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
     mlp, fwd_iter, fwd_bwd_iter, params, x0, flops_fwd = build_mlp_ln(
-        variant, M)
+        variant, M, C, Hd, remat=remat)
     body = fwd_iter if mode == "fwd" else fwd_bwd_iter
-    # fwd_bwd runs fwd(grad) + fwd(chain) + bwd ≈ 4x fwd GEMM flops
-    flops_iter = flops_fwd if mode == "fwd" else 4 * flops_fwd
+    # GEMM passes per value_and_grad w.r.t. (params, x): fwd 2 + bwd
+    # (dh, dx, dw1, dw2) 4 = 3x; remat recomputes the 2 fwd GEMMs = 4x
+    # (v4's bwd kernel folds the recompute in either way)
+    mult = 1.0 if mode == "fwd" else (4.0 if remat else 3.0)
+    flops_iter = flops_fwd * mult
 
     @jax.jit
     def chain(p, x):
@@ -145,16 +162,22 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=24)
     ap.add_argument("--mode", default="fwd_bwd", help="fwd | fwd_bwd | both")
+    ap.add_argument("--dim", type=int, default=512, help="block channels C")
+    ap.add_argument("--tokens", type=int, default=784,
+                    help="tokens per image at this stage (M = batch·tokens)")
+    ap.add_argument("--remat", action="store_true",
+                    help="wrap the block in jax.checkpoint (production path)")
     args = ap.parse_args()
 
     from mvuld_tpu.parallel.mesh import enable_compile_cache
     enable_compile_cache()
-    M = args.batch * 784                      # stage-3 tokens at 448²
+    M = args.batch * args.tokens
     modes = ["fwd", "fwd_bwd"] if args.mode == "both" else [args.mode]
     for variant in args.variant.split(","):
         for mode in modes:
-            print(json.dumps(run_variant(variant, M, args.iters, mode)),
-                  flush=True)
+            print(json.dumps(run_variant(
+                variant, M, args.iters, mode, C=args.dim, Hd=4 * args.dim,
+                remat=args.remat)), flush=True)
 
 
 if __name__ == "__main__":
