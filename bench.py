@@ -39,11 +39,13 @@ BATCH = int(os.environ.get("MVULD_BENCH_BATCH", 64))
 # Its bwd kernel holds both weight mats + fp32 grad accumulators in VMEM
 # (~21 MB at C=512): when XLA wraps the custom call into a fusion the
 # per-call vmem_limit_bytes is dropped and the default 16 MB scoped limit
-# applies, so raise the global scoped-VMEM limit BEFORE jax initializes.
+# applies, so the scoped-VMEM limit is raised for the whole step program.
 FUSED_MLP = os.environ.get("MVULD_BENCH_FUSED_MLP", "0") == "1"
-if FUSED_MLP:
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
-                               " --xla_tpu_scoped_vmem_limit_kib=28672")
+# TPU backend flags must ride the compile request (jit compiler_options):
+# client-side XLA_FLAGS are parsed by the local CPU build, which aborts on
+# TPU-only flag names under the tunneled-TPU setup
+FUSED_MLP_COMPILER_OPTS = (
+    {"xla_tpu_scoped_vmem_limit_kib": "28672"} if FUSED_MLP else None)
 ITERS = int(os.environ.get("MVULD_BENCH_ITERS", 8))
 REMAT = os.environ.get("MVULD_BENCH_REMAT", "1") == "1"
 REPEATS = int(os.environ.get("MVULD_BENCH_REPEATS", 3))
@@ -132,7 +134,8 @@ def main() -> None:
     # training does (mvuld_tpu/core/train_state.py make_multi_train_step)
     from mvuld_tpu.core.train_state import make_multi_train_step
     multi_step = make_multi_train_step(apply_fn, tx, num_steps=ITERS,
-                                       label_smoothing=0.1)
+                                       label_smoothing=0.1,
+                                       compiler_options=FUSED_MLP_COMPILER_OPTS)
 
     data = np.random.RandomState(0)
     superbatch = {

@@ -95,7 +95,8 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
 def make_multi_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
                           num_steps: int, label_smoothing: float = 0.1,
                           has_batch_stats: bool = False,
-                          donate: bool = True) -> Callable:
+                          donate: bool = True,
+                          compiler_options: dict = None) -> Callable:
     """K fused optimizer steps in ONE jitted call via lax.scan.
 
     Step fusion amortizes per-dispatch overhead (host→device RPC latency —
@@ -140,7 +141,12 @@ def make_multi_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
                                            length=num_steps)
         return state, metrics
 
-    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+    # compiler_options travel inside the PJRT compile request — the only
+    # way to set TPU backend flags (e.g. xla_tpu_scoped_vmem_limit_kib)
+    # through the tunneled-client setup, where client-side XLA_FLAGS are
+    # parsed by a CPU build that rejects TPU flag names
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else (),
+                   compiler_options=compiler_options)
 
 
 def make_eval_step(apply_fn: Callable, has_batch_stats: bool = False) -> Callable:

@@ -163,10 +163,18 @@ def adjust_ratio(boxes: Optional[np.ndarray], ratio_w: float, ratio_h: float
     return boxes
 
 
-def detect_image(apply_fn, params, img, score_thresh: float = 0.9
-                 ) -> Optional[np.ndarray]:
+def detect_image(apply_fn, params, img, score_thresh: float = 0.9,
+                 pad_to: int = 0) -> Optional[np.ndarray]:
     """Run the detector on one PIL image (resized to /32 multiples,
-    reference: resize_img:16-29 + detect:→ adjust_ratio)."""
+    reference: resize_img:16-29 + detect:→ adjust_ratio).
+
+    ``pad_to > 0`` pads the resized image bottom/right with white to the
+    next multiple of ``pad_to``: on the TPU relay every distinct input
+    shape is a separate (minutes-long) XLA compile, so bucketing corpus
+    detection to a handful of shapes is the difference between one warm
+    cache and hundreds of cold compiles. EAST is fully convolutional —
+    padding with background only adds empty score-map area, which the
+    >thresh cut discards."""
     import jax.numpy as jnp
     w, h = img.size
     rw = w if w % 32 == 0 else (w // 32) * 32
@@ -175,15 +183,26 @@ def detect_image(apply_fn, params, img, score_thresh: float = 0.9
     resized = img.resize((rw, rh))
     x = np.asarray(resized, np.float32) / 255.0
     x = (x - 0.5) / 0.5                              # reference load_pil norm
+    if pad_to:
+        ph = -rh % pad_to
+        pw = -rw % pad_to
+        if ph or pw:
+            # renderer canvases are white; +1.0 is white after the ±0.5 norm
+            x = np.pad(x, ((0, ph), (0, pw), (0, 0)), constant_values=1.0)
     score, geo = apply_fn(params, jnp.asarray(x[None]))
     boxes = get_boxes(np.asarray(score)[0, :, :, 0], np.asarray(geo)[0],
                       score_thresh)
+    if pad_to and boxes is not None and boxes.size:
+        # drop detections that fell entirely in the padding margin
+        keep = ((boxes[:, 0:8:2].min(axis=1) < rw) &
+                (boxes[:, 1:8:2].min(axis=1) < rh))
+        boxes = boxes[keep] if keep.any() else None
     return adjust_ratio(boxes, rw / w, rh / h)
 
 
 def detect_dataset_map(apply_fn, params, img_paths: List[str], out_dir: str,
                        recognizer=None, score_thresh: float = 0.9,
-                       logger=None) -> Dict[str, str]:
+                       logger=None, pad_to: int = 0) -> Dict[str, str]:
     """Detect every image, recognize each box's line number, and write
     ``{out_dir}/{img_id}.pkl`` norm-pos dicts (reference:
     detect_dataset_map:285-353 + Tesseract per padded box)."""
@@ -202,7 +221,8 @@ def detect_dataset_map(apply_fn, params, img_paths: List[str], out_dir: str,
             continue
         img = Image.open(path).convert("RGB")
         W, H = img.size
-        boxes = detect_image(apply_fn, params, img, score_thresh)
+        boxes = detect_image(apply_fn, params, img, score_thresh,
+                             pad_to=pad_to)
         pos: Dict[int, List[float]] = {}
         if boxes is not None:
             for b in boxes:

@@ -30,6 +30,61 @@ import json
 import os
 
 
+def _ocr_positions(east_ckpt: str, df, cache_dir: str, out_dir: str, cfg,
+                   logger) -> dict:
+    """Produce node positions the reference's production way: EAST detection
+    + line-number recognition over the rendered PNGs (OCR/detect.py
+    detect_dataset_map:285-353), writing norm-pos pickles to ``out_dir``.
+    Returns recovery stats vs the renderer's oracle boxes."""
+    import glob
+
+    import jax
+
+    from mvuld_tpu.core.checkpoint import load_checkpoint
+    from mvuld_tpu.ocr.detect import detect_dataset_map
+    from mvuld_tpu.ocr.east import EAST
+    from mvuld_tpu.tools.render import load_norm_pos
+    from mvuld_tpu.train.precompute import render_corpus
+
+    img_dir = os.path.join(cache_dir, "imgs")
+    oracle_dir = os.path.join(cache_dir, "pos")
+    paths = render_corpus(df, img_dir, oracle_dir, cfg.DATA.GTYPE, logger)
+
+    path = east_ckpt
+    if os.path.isdir(path) and not os.path.basename(path).startswith(
+            ("ckpt_epoch_", "best_f1_epoch_")):
+        cands = glob.glob(os.path.join(path, "**", "ckpt_epoch_*"),
+                          recursive=True)
+        if not cands:
+            raise FileNotFoundError(f"no ckpt_epoch_* under {path}")
+        path = max(cands, key=lambda p: int(p.rsplit("_", 1)[1]))
+    state = load_checkpoint(path)
+    model = EAST()
+    batch_stats = state["batch_stats"]
+
+    @jax.jit
+    def apply_fn(params, x):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           x, train=False)
+
+    # pad_to=256 buckets the relay compiles to a handful of shapes
+    detect_dataset_map(apply_fn, state["params"],
+                       [paths[_id] for _id in sorted(paths)], out_dir,
+                       pad_to=256, logger=None)
+
+    total = recovered = 0
+    for _id in paths:
+        oracle = load_norm_pos(os.path.join(oracle_dir, f"{_id}.pkl"))
+        ocr = load_norm_pos(os.path.join(out_dir, f"{_id}.pkl"))
+        total += len(oracle)
+        recovered += sum(1 for lineno in oracle if lineno in ocr)
+    stats = {"ocr_node_recovery": recovered / max(total, 1),
+             "ocr_images": len(paths), "ocr_oracle_nodes": total}
+    if logger:
+        logger.info(f"OCR positions: {stats}")
+    return stats
+
+
 def main(argv=None) -> dict:
     parser = argparse.ArgumentParser()
     parser.add_argument("--synthetic", type=int, default=0)
@@ -47,6 +102,14 @@ def main(argv=None) -> dict:
                              "torch .pth to convert (used as --pretrained "
                              "when fine-tuning)")
     parser.add_argument("--fusion-epochs", type=int, default=8)
+    parser.add_argument("--east-ckpt", default=None,
+                        help="trained EAST checkpoint (train_east --out-dir "
+                             "root or an orbax ckpt path): node positions "
+                             "then come from EAST detection + line-number "
+                             "recognition over the rendered PNGs — the "
+                             "reference's production OCR path (OCR/detect.py "
+                             "detect_dataset_map) — instead of the "
+                             "renderer's oracle boxes")
     parser.add_argument("--opts", nargs="+", default=None)
     args = parser.parse_args(argv)
 
@@ -172,12 +235,35 @@ def main(argv=None) -> dict:
 
     if swin_encoder is None:
         _, swin_encoder = make_random_encoders(cfg)
-    build_fusion_cache(df, cache_dir, cfg, text_encoder=text_encoder,
-                       swin_encoder=swin_encoder, tokenizer=tok, logger=logger)
+
+    # ---- optional OCR stage: EAST-detected node positions (reference's
+    # production path) instead of the renderer oracle. The npz caches go to
+    # a separate dir (imgs/pos symlinked, not re-rendered) so oracle- and
+    # OCR-positioned caches can never silently shadow each other.
+    ocr_stats = None
+    npz_dir = cache_dir
+    if args.east_ckpt:
+        ocr_pos_dir = os.path.join(cache_dir, "pos_ocr")
+        ocr_stats = _ocr_positions(args.east_ckpt, df, cache_dir, ocr_pos_dir,
+                                   cfg, logger)
+        npz_dir = os.path.join(args.out, "cache_ocr")
+        os.makedirs(npz_dir, exist_ok=True)
+        for sub in ("imgs", "pos"):
+            link = os.path.join(npz_dir, sub)
+            if not os.path.exists(link):
+                os.symlink(os.path.abspath(os.path.join(cache_dir, sub)),
+                           link)
+        build_fusion_cache(df, npz_dir, cfg, text_encoder=text_encoder,
+                           swin_encoder=swin_encoder, tokenizer=tok,
+                           logger=logger, pos_dir=ocr_pos_dir)
+    else:
+        build_fusion_cache(df, cache_dir, cfg, text_encoder=text_encoder,
+                           swin_encoder=swin_encoder, tokenizer=tok,
+                           logger=logger)
 
     # ---- stage 5: fusion
     fusion_res = fusion_main([
-        "--cache-dir", cache_dir,
+        "--cache-dir", npz_dir,
         "--batch-size", str(args.batch_size),
         "--output", os.path.join(args.out, "fusion"),
         "--arch", args.arch,
@@ -194,7 +280,10 @@ def main(argv=None) -> dict:
         "arch": args.arch,
         "image_encoder": ("trained" if (args.swin_epochs > 0 or args.swin_ckpt)
                           else "random_projection"),
+        "positions": "ocr" if args.east_ckpt else "oracle",
     }
+    if ocr_stats:
+        summary.update(ocr_stats)
     with open(os.path.join(args.out, "pipeline_summary.json"), "w") as f:
         json.dump(summary, f, indent=1, default=float)
     logger.info(f"pipeline summary: {summary}")

@@ -83,8 +83,8 @@ def _pack_one(item: Dict, pos_dir: str, gtype: str, max_nodes: int):
 
 def build_fusion_cache(df, cache_dir: str, cfg, *, text_encoder=None,
                        swin_encoder=None, tokenizer=None, logger=None,
-                       workers: int = 6, encode_batch: int = 32
-                       ) -> Dict[str, str]:
+                       workers: int = 6, encode_batch: int = 32,
+                       pos_dir: str = None) -> Dict[str, str]:
     """Build {part}.npz caches for all partitions present in ``df``.
 
     ``text_encoder`` / ``swin_encoder``: callables ids→emb / images→emb.
@@ -104,9 +104,14 @@ def build_fusion_cache(df, cache_dir: str, cfg, *, text_encoder=None,
 
     os.makedirs(cache_dir, exist_ok=True)
     img_dir = os.path.join(cache_dir, "imgs")
-    pos_dir = os.path.join(cache_dir, "pos")
-    paths = render_corpus(df, img_dir, pos_dir, cfg.DATA.GTYPE, logger,
+    oracle_pos_dir = os.path.join(cache_dir, "pos")
+    paths = render_corpus(df, img_dir, oracle_pos_dir, cfg.DATA.GTYPE, logger,
                           workers=workers)
+    # pos_dir override: point node positions at e.g. EAST+OCR detections
+    # (ocr/detect.py detect_dataset_map output) instead of the renderer's
+    # oracle boxes — the reference's production path (norm_pos_dict pickles,
+    # OCR/detect.py:285-353 → data_list.py itempath lookups)
+    pos_dir = pos_dir or oracle_pos_dir
 
     M = cfg.DATA.MAX_NODES
     out_paths = {}

@@ -176,3 +176,46 @@ def test_lineno_reader_on_real_render():
             correct += int(reader.read(crop) == ln)
     assert total >= 20
     assert correct / total >= 0.95, f"{correct}/{total}"
+
+
+def test_detect_image_pad_to_matches_unpadded():
+    """pad_to buckets the input shape for compile caching; detections on the
+    original extent must be unchanged and padding-area hits dropped."""
+    from PIL import Image
+
+    from mvuld_tpu.ocr.detect import detect_image
+
+    H, W = 128, 160                                  # /32-aligned already
+
+    def fake_apply(_params, x):
+        # plant a box only inside the original extent; score map is /4 scale
+        h, w = x.shape[1] // 4, x.shape[2] // 4
+        score = np.zeros((1, h, w, 1), np.float32)
+        geo = np.zeros((1, h, w, 5), np.float32)
+        for r in range(10, 14):
+            for c in range(13, 19):
+                score[0, r, c, 0] = 0.99
+                y, xx = r * 4, c * 4
+                geo[0, r, c] = [y - 40, 56 - y, xx - 48, 80 - xx, 0.0]
+        return score, geo
+
+    img = Image.new("RGB", (W, H), "white")
+    base = detect_image(fake_apply, None, img)
+    padded = detect_image(fake_apply, None, img, pad_to=256)
+    assert base is not None and padded is not None
+    assert len(base) == len(padded) == 1
+    np.testing.assert_allclose(padded[0][:8], base[0][:8], atol=1e-4)
+
+    def pad_only_apply(_params, x):
+        # a detection entirely in the padding margin must be filtered out
+        h, w = x.shape[1] // 4, x.shape[2] // 4
+        score = np.zeros((1, h, w, 1), np.float32)
+        geo = np.zeros((1, h, w, 5), np.float32)
+        if h > H // 4 + 4:
+            r, c = H // 4 + 3, 2
+            score[0, r, c, 0] = 0.99
+            y, xx = r * 4, c * 4
+            geo[0, r, c] = [4.0, 4.0, 4.0, 4.0, 0.0]
+        return score, geo
+
+    assert detect_image(pad_only_apply, None, img, pad_to=256) is None

@@ -104,3 +104,62 @@ def test_pipeline_with_trained_swin(tmp_path):
     import glob
     assert glob.glob(os.path.join(out, "swin", "**", "checkpoint-best-f1"),
                      recursive=True)
+
+
+def test_pipeline_with_ocr_positions(tmp_path):
+    """--east-ckpt: node positions come from EAST detection + line-number
+    recognition over the rendered PNGs (the reference's production OCR path)
+    instead of the renderer oracle. A random-init EAST detects ~nothing, so
+    this exercises the plumbing end to end (separate cache_ocr npz dir,
+    recovery stats in the summary) with near-empty position dicts."""
+    import jax
+    import jax.numpy as jnp
+
+    from mvuld_tpu.core.checkpoint import save_checkpoint
+    from mvuld_tpu.ocr.east import EAST
+    from mvuld_tpu.train.pipeline import main
+
+    east_dir = str(tmp_path / "east")
+    model = EAST()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)))
+    save_checkpoint(east_dir, 1, {"params": variables["params"],
+                                  "batch_stats": variables["batch_stats"]})
+
+    out = str(tmp_path / "run")
+    res = main([
+        "--synthetic", "48",
+        "--out", out,
+        "--batch-size", "8",
+        "--text-epochs", "1",
+        "--fusion-epochs", "2",
+        "--east-ckpt", east_dir,
+        "--opts",
+        "MODEL.UNIXCODER.LAYERS", "1",
+        "MODEL.UNIXCODER.HIDDEN", "32",
+        "MODEL.UNIXCODER.HEADS", "2",
+        "MODEL.UNIXCODER.INTERMEDIATE", "64",
+        "DATA.FUNC_TOKENS", "64",
+        "DATA.NODE_TOKENS", "16",
+        "DATA.MAX_NODES", "24",
+        "MODEL.MULTI.HIDDEN", "48",
+        "MODEL.MULTI.NUM_RS_GCN", "1",
+        "MODEL.MULTI.NUM_HIDDEN_FC", "1",
+        "TRAIN.WARMUP_EPOCHS", "0",
+        "TRAIN.EARLY_STOP_PATIENCE", "20",
+        "AUG.MIXUP", "0.0",
+        "AUG.CUTMIX", "0.0",
+        "PARALLEL.DTYPE", "float32",
+        "PRINT_FREQ", "50",
+    ])
+    assert np.isfinite(res["fusion_best_f1"])
+    summary = json.load(open(os.path.join(out, "pipeline_summary.json")))
+    assert summary["positions"] == "ocr"
+    assert 0.0 <= summary["ocr_node_recovery"] <= 1.0
+    assert summary["ocr_images"] > 0
+    # OCR-positioned npz caches live in their own dir (no oracle shadowing)
+    for part in ("train", "val", "test"):
+        assert os.path.exists(os.path.join(out, "cache_ocr", f"{part}.npz"))
+    # per-image norm-pos pickles were written by the detector
+    import glob
+    assert glob.glob(os.path.join(out, "cache", "pos_ocr", "*.pkl"))
