@@ -161,6 +161,8 @@ def default_config() -> CfgNode:
     _C.TRAIN.ACCUMULATION_STEPS = 1
     _C.TRAIN.FUSED_STEPS = 1       # K optimizer steps per device dispatch (lax.scan)
     _C.TRAIN.USE_CHECKPOINT = False        # activation remat (jax.checkpoint)
+    _C.TRAIN.FUSED_MLP = False     # Pallas fused MLP+LN block half (TPU only;
+    #                                ops/fused_dense.py mlp_ln, stages C<=512)
     _C.TRAIN.EARLY_STOP_PATIENCE = 50      # fusion default (main_bigvul.py early stop)
     _C.TRAIN.DATA_PATH = "datasets/total/train_balanced.txt"
     _C.TRAIN.LR_SCHEDULER = CfgNode()

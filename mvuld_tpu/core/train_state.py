@@ -50,7 +50,8 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
 def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
                     label_smoothing: float = 0.1,
                     has_batch_stats: bool = False,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    compiler_options: dict = None) -> Callable:
     """Build a jitted train step.
 
     ``apply_fn(variables, batch, rngs, train) -> logits`` adapts each model's
@@ -89,7 +90,8 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
                                   opt_state=new_opt, batch_stats=new_stats)
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return jax.jit(train_step, donate_argnums=(0,) if donate else (),
+                   compiler_options=compiler_options)
 
 
 def make_multi_train_step(apply_fn: Callable, tx: optax.GradientTransformation,

@@ -377,15 +377,21 @@ class WindowAttentionV2(nn.Module):
         cpb = nn.Dense(H, use_bias=False, name="cpb_fc2")(cpb)   # [(2W-1)², H]
         # gather-free block-Toeplitz expansion (two one-hot MXU matmuls);
         # equals cpb[relative_position_index].reshape(N,N,H).transpose —
-        # the naive gather was the dominant forward cost at 448²
-        bias = relative_bias_from_table(cpb, self.window_size)     # [H, N, N]
+        # the naive gather was the dominant forward cost at 448².
+        # Expanded in the COMPUTE dtype: at bf16 the [N², H] layout
+        # copies/reshapes the expansion lowers to move half the bytes
+        # (profiled ~22 ms/step of fp32 bias-layout traffic at bs64-448),
+        # and the remat-saved pre-sigmoid tensor shrinks the same 2×; the
+        # cpb MLP itself and the post-sigmoid bias stay fp32
+        bias = relative_bias_from_table(cpb.astype(self.dtype),
+                                        self.window_size)         # [H, N, N]
         # named for the remat policy (SwinTransformerV2.saved_names): tagged
         # PRE-sigmoid — the sigmoid's own bwd needs this value, so saving it
         # (rather than the post-sigmoid bias) is what lets DCE drop the
         # whole expansion from the remat recompute; rebuilding the kernel's
         # bias residual is then one elementwise op.
         bias = checkpoint_name(bias, "attn_bias")
-        bias = 16.0 * jax.nn.sigmoid(bias)
+        bias = 16.0 * jax.nn.sigmoid(bias.astype(jnp.float32))
 
         if self.use_pallas and self.attn_drop == 0.0:
             # flat-layout fused attention (ops/window_attention.py, the

@@ -89,7 +89,13 @@ def main(argv=None) -> dict:
     sc = SwinV2Config.from_cfg(cfg)
     on_tpu = jax.default_backend() not in ("cpu",)
     model = SwinTransformerV2(sc, use_checkpoint=cfg.TRAIN.USE_CHECKPOINT,
-                              scan_blocks=True, use_pallas=on_tpu)
+                              scan_blocks=True, use_pallas=on_tpu,
+                              use_pallas_mlp=on_tpu and cfg.TRAIN.FUSED_MLP)
+    # the fused-MLP bwd kernel + scan dW accumulator fusion needs ~52 MB of
+    # scoped VMEM (default limit 16 MB); the flag must ride the compile
+    # request — client-side XLA_FLAGS can't carry TPU flag names here
+    compiler_opts = ({"xla_tpu_scoped_vmem_limit_kib": "65536"}
+                     if (on_tpu and cfg.TRAIN.FUSED_MLP) else None)
     rng = jax.random.PRNGKey(cfg.SEED)
     size = cfg.DATA.IMG_SIZE
     variables = model.init(rng, jnp.zeros((2, size, size, 3), jnp.float32))
@@ -161,13 +167,15 @@ def main(argv=None) -> dict:
     smoothing = 0.0 if use_mix else cfg.MODEL.LABEL_SMOOTHING
 
     train_step = make_train_step(apply_fn, tx, label_smoothing=smoothing,
-                                 donate=False)
+                                 donate=False,
+                                 compiler_options=compiler_opts)
     multi_step = None
     if cfg.TRAIN.FUSED_STEPS > 1:
         from mvuld_tpu.core.train_state import make_multi_train_step
         multi_step = make_multi_train_step(apply_fn, tx, cfg.TRAIN.FUSED_STEPS,
                                            label_smoothing=smoothing,
-                                           donate=False)
+                                           donate=False,
+                                           compiler_options=compiler_opts)
     eval_step = make_eval_step(apply_fn)
 
     def batch_hook(batch, epoch, it):
