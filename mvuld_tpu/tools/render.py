@@ -99,6 +99,23 @@ HELD_OUT_STYLE = RenderStyle(font_size=17, font_path=_dejavu_path(),
                              outline_width=1)
 
 
+def random_style(rng) -> RenderStyle:
+    """Domain-randomized training style: geometry/shape/size jitter around
+    the default look, for style-invariant detector training. The held-out
+    font FACE (DejaVu) is deliberately NEVER sampled — HELD_OUT_STYLE stays
+    a genuinely unseen rendering for evaluation."""
+    return RenderStyle(
+        font_size=int(rng.randint(12, 19)),
+        font_path=None,                      # default bitmap face only
+        pad_x=int(rng.randint(6, 18)),
+        pad_y=int(rng.randint(4, 12)),
+        row_gap=int(rng.randint(14, 32)),
+        indent=int(rng.randint(20, 48)),
+        margin_x=int(rng.randint(24, 56)),
+        node_shape=("rect" if rng.rand() < 0.5 else "ellipse"),
+        outline_width=int(rng.randint(1, 4)))
+
+
 def _font(style: RenderStyle = DEFAULT_STYLE):
     return style.font()
 

@@ -46,7 +46,8 @@ def build_east_corpus(n_funcs: int, canvas_size: int, seed: int, cache: str,
     from mvuld_tpu.tools.render import DEFAULT_STYLE, layout, render_cpg
     from mvuld_tpu.tools.synthetic import generate_dataset
 
-    style = style or DEFAULT_STYLE
+    randomize = style == "random"
+    style = DEFAULT_STYLE if randomize else (style or DEFAULT_STYLE)
     os.makedirs(cache, exist_ok=True)
     # the seed is part of the key: the eval corpus (seed+10000) must never
     # alias the training corpus cache even when n/size/tag coincide
@@ -57,6 +58,7 @@ def build_east_corpus(n_funcs: int, canvas_size: int, seed: int, cache: str,
         return z["images"], z["quads"], z["nquads"], []
 
     df = generate_dataset(n_funcs, seed=seed)
+    style_rng = np.random.RandomState(seed ^ 0x5EED)
     images, quads_all, nquads, paths = [], [], [], []
     for _, row in df.iterrows():
         cpg = extract_line_cpg(row.func_before)
@@ -65,6 +67,11 @@ def build_east_corpus(n_funcs: int, canvas_size: int, seed: int, cache: str,
         g = cpg.filtered("all")
         if len(g.nodes) < 2:
             continue
+        if randomize:
+            # per-image domain randomization (geometry/shape/size only; the
+            # held-out font face is never sampled — render.random_style)
+            from mvuld_tpu.tools.render import random_style
+            style = random_style(style_rng)
         img_path = os.path.join(cache, f"{tag}_{int(row._id)}.png")
         img, _pos = render_cpg(g, out_path=img_path, style=style)
         boxes_px = layout(g, style)
@@ -214,7 +221,10 @@ def evaluate_recovery(model, params, batch_stats, n_funcs: int, seed: int,
         gt_boxes = layout(g, style)               # {lineno: (x0,y0,x1,y1)}
         n_imgs += 1
         total_gt += len(gt_boxes)
-        boxes = detect_image(apply_fn, params, img)
+        # pad_to buckets the natively-sized renders into a handful of input
+        # shapes — on the TPU relay every distinct shape is a minutes-long
+        # compile, and 200 natural sizes would turn this eval into hours
+        boxes = detect_image(apply_fn, params, img, pad_to=256)
         pos = {}
         if boxes is not None:
             W, H = img.size
@@ -258,6 +268,11 @@ def main(argv=None) -> dict:
     parser.add_argument("--epochs", type=int, default=20)
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--train-style", choices=["default", "random"],
+                        default="default",
+                        help="'random' = per-image domain randomization "
+                             "(geometry/shape/font-size jitter; the "
+                             "held-out font face is never sampled)")
     parser.add_argument("--no-crop", action="store_true",
                         help="disable the reference crop augmentation")
     parser.add_argument("--eval-synthetic", type=int, default=0,
@@ -284,7 +299,9 @@ def main(argv=None) -> dict:
     canvas = int(args.img_size * args.canvas_scale) if crop else args.img_size
     images, quads, nquads, _ = build_east_corpus(
         args.synthetic, canvas, args.seed,
-        os.path.join(args.out_dir, "corpus"), logger)
+        os.path.join(args.out_dir, "corpus"), logger,
+        style="random" if args.train_style == "random" else None,
+        tag=args.train_style)
     n = images.shape[0]
     logger.info(f"EAST corpus: {n} canvases of {canvas}², "
                 f"crop={'on' if crop else 'off'} → {args.img_size}²")
