@@ -259,6 +259,35 @@ def evaluate_recovery(model, params, batch_stats, n_funcs: int, seed: int,
     return out
 
 
+def _run_evals(args, model, params, batch_stats, logger, result) -> dict:
+    """Held-out-style H-mean + line-number recovery evals (shared by the
+    training path and --eval-only)."""
+    crop = not args.no_crop
+    canvas = int(args.img_size * args.canvas_scale) if crop else args.img_size
+    if args.eval_synthetic:
+        from mvuld_tpu.tools.render import DEFAULT_STYLE, HELD_OUT_STYLE
+        style = (HELD_OUT_STYLE if args.eval_style == "heldout"
+                 else DEFAULT_STYLE)
+        ev_imgs, ev_quads, ev_nq, _ = build_east_corpus(
+            args.eval_synthetic, canvas, args.seed + 10_000,
+            os.path.join(args.out_dir, "corpus"), logger, style=style,
+            tag=args.eval_style)
+        metrics = evaluate_hmean(model, params, batch_stats, ev_imgs,
+                                 ev_quads, ev_nq, args.img_size)
+        logger.info(f"detection eval ({args.eval_style} style): {metrics}")
+        result["eval"] = metrics
+
+    if args.eval_recovery:
+        from mvuld_tpu.tools.render import DEFAULT_STYLE, HELD_OUT_STYLE
+        style = (HELD_OUT_STYLE if args.eval_style == "heldout"
+                 else DEFAULT_STYLE)
+        result["recovery"] = evaluate_recovery(
+            model, params, batch_stats, args.eval_recovery,
+            args.seed + 20_000, style, os.path.join(args.out_dir, "corpus"),
+            logger)
+    return result
+
+
 def main(argv=None) -> dict:
     parser = argparse.ArgumentParser()
     parser.add_argument("--synthetic", type=int, default=100)
@@ -284,6 +313,9 @@ def main(argv=None) -> dict:
                              "natively-rendered eval functions")
     parser.add_argument("--out-dir", default="runs/east")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--eval-only", default=None, metavar="CKPT_DIR",
+                        help="skip training; load the newest ckpt_epoch_* "
+                             "under CKPT_DIR and run the requested evals")
     args = parser.parse_args(argv)
 
     import jax
@@ -310,6 +342,20 @@ def main(argv=None) -> dict:
     rng = jax.random.PRNGKey(args.seed)
     variables = model.init(rng, jnp.zeros((1, args.img_size, args.img_size, 3)))
     params, batch_stats = variables["params"], variables["batch_stats"]
+
+    if args.eval_only:
+        import glob
+
+        from mvuld_tpu.core.checkpoint import load_checkpoint
+        cands = glob.glob(os.path.join(args.eval_only, "**", "ckpt_epoch_*"),
+                          recursive=True)
+        if not cands:
+            raise FileNotFoundError(f"no ckpt_epoch_* under {args.eval_only}")
+        state = load_checkpoint(
+            max(cands, key=lambda p: int(p.rsplit("_", 1)[1])))
+        params, batch_stats = state["params"], state["batch_stats"]
+        result = {"losses": [], "model": model}
+        return _run_evals(args, model, params, batch_stats, logger, result)
 
     # Adam + step decay at half the epochs (reference: OCR/train.py:25-33)
     steps = max(n // args.batch_size, 1) * args.epochs
@@ -356,29 +402,7 @@ def main(argv=None) -> dict:
                      "batch_stats": jax.device_get(batch_stats)})
     result = {"params": params, "batch_stats": batch_stats,
               "losses": step_losses, "model": model}
-
-    if args.eval_synthetic:
-        from mvuld_tpu.tools.render import DEFAULT_STYLE, HELD_OUT_STYLE
-        style = (HELD_OUT_STYLE if args.eval_style == "heldout"
-                 else DEFAULT_STYLE)
-        ev_imgs, ev_quads, ev_nq, _ = build_east_corpus(
-            args.eval_synthetic, canvas, args.seed + 10_000,
-            os.path.join(args.out_dir, "corpus"), logger, style=style,
-            tag=args.eval_style)
-        metrics = evaluate_hmean(model, params, batch_stats, ev_imgs,
-                                 ev_quads, ev_nq, args.img_size)
-        logger.info(f"detection eval ({args.eval_style} style): {metrics}")
-        result["eval"] = metrics
-
-    if args.eval_recovery:
-        from mvuld_tpu.tools.render import DEFAULT_STYLE, HELD_OUT_STYLE
-        style = (HELD_OUT_STYLE if args.eval_style == "heldout"
-                 else DEFAULT_STYLE)
-        result["recovery"] = evaluate_recovery(
-            model, params, batch_stats, args.eval_recovery,
-            args.seed + 20_000, style, os.path.join(args.out_dir, "corpus"),
-            logger)
-    return result
+    return _run_evals(args, model, params, batch_stats, logger, result)
 
 
 if __name__ == "__main__":

@@ -62,3 +62,31 @@ def test_detect_dataset_map_with_gt_oracle(tmp_path):
         ix = max(0.0, min(gx1, px1) - max(gx0, px0))
         iy = max(0.0, min(gy1, py1) - max(gy0, py0))
         assert ix > 0 and iy > 0, (ln, gt_pos[ln], pos[ln])
+
+
+def test_east_eval_only_and_random_style(tmp_path):
+    """--train-style random builds a domain-randomized corpus; --eval-only
+    reloads the saved checkpoint and reruns evals without training."""
+    from mvuld_tpu.train.train_east import main
+    res = main([
+        "--synthetic", "10",
+        "--img-size", "64",
+        "--epochs", "2",
+        "--batch-size", "4",
+        "--train-style", "random",
+        "--out-dir", str(tmp_path),
+    ])
+    assert np.isfinite(res["losses"]).all()
+
+    res2 = main([
+        "--synthetic", "10",
+        "--img-size", "64",
+        "--epochs", "0",
+        "--eval-only", str(tmp_path),
+        "--eval-synthetic", "3",
+        "--eval-style", "heldout",
+        "--eval-recovery", "2",
+        "--out-dir", str(tmp_path),
+    ])
+    assert "eval" in res2 and "hmean" in res2["eval"]
+    assert "recovery" in res2 and 0 <= res2["recovery"]["recovery_rate"] <= 1
