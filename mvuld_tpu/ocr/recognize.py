@@ -26,14 +26,17 @@ from PIL import Image, ImageDraw, ImageFont
 
 _CHARSET = string.digits + string.ascii_uppercase + string.ascii_lowercase + "_:();=+-*,[]{}<>"
 _FONT_SIZE = 14
-_NORM = 16     # glyphs are resize-normalized to _NORM×_NORM for matching
+_NORM = 24     # glyphs are resize-normalized to _NORM×_NORM for matching
 
 
 def _render_glyph(ch: str, font) -> np.ndarray:
-    img = Image.new("L", (24, 24), 255)
+    img = Image.new("L", (28, 28), 255)
     d = ImageDraw.Draw(img)
     d.text((2, 2), ch, fill=0, font=font)
     arr = 255 - np.asarray(img, np.float32)
+    # identical preprocessing to recognize()'s crops: faint anti-aliased
+    # pixels below the binarization floor never reach the matcher
+    arr = np.where(arr > 110, arr, 0.0)
     cols = arr.max(axis=0) > 32
     rows = arr.max(axis=1) > 32
     if not cols.any() or not rows.any():
@@ -42,22 +45,50 @@ def _render_glyph(ch: str, font) -> np.ndarray:
     return arr / max(arr.max(), 1.0)
 
 
+def _template_fonts(font_size: int) -> list:
+    """Template font bank: like Tesseract's multi-font training data, the
+    matcher carries every text face it may meet — the renderer's default
+    bitmap face plus DejaVu (matplotlib ships it; tools/render.py
+    HELD_OUT_STYLE draws with it) at a couple of sizes. More faces only add
+    template variants; matching stays per-glyph max-correlation."""
+    fonts = []
+    try:
+        fonts.append(ImageFont.load_default(size=font_size))
+    except TypeError:
+        fonts.append(ImageFont.load_default())
+    try:
+        import os
+
+        import matplotlib
+        p = os.path.join(os.path.dirname(matplotlib.__file__), "mpl-data",
+                         "fonts", "ttf", "DejaVuSans.ttf")
+        if os.path.exists(p):
+            for sz in (font_size, font_size + 3):
+                fonts.append(ImageFont.truetype(p, sz))
+    except ImportError:
+        pass
+    return fonts
+
+
 class GlyphRecognizer:
     def __init__(self, charset: str = _CHARSET, font_size: int = _FONT_SIZE):
-        try:
-            font = ImageFont.load_default(size=font_size)
-        except TypeError:
-            font = ImageFont.load_default()
-        raw = {ch: _render_glyph(ch, font) for ch in charset}
-        self.templates: Dict[str, tuple] = {
-            ch: (self._norm_glyph(t), t.shape[1] / max(t.shape[0], 1))
-            for ch, t in raw.items() if t.size > 1}
+        self.templates: Dict[str, list] = {}
+        for font in _template_fonts(font_size):
+            for ch in charset:
+                t = _render_glyph(ch, font)
+                if t.size > 1:
+                    self.templates.setdefault(ch, []).append(
+                        (self._norm_glyph(t), t.shape[1] / max(t.shape[0], 1)))
 
     # -- glyph classification -------------------------------------------------
     @staticmethod
     def _norm_glyph(g: np.ndarray) -> np.ndarray:
         import cv2
-        g = (g > 0).astype(np.float32)     # shape, not stroke intensity
+        # grayscale (not binarized) matching: anti-aliased stroke intensity
+        # carries shape detail the threshold destroys — measured margins
+        # between confusable digits (6/8/9/0) are ~50% wider in gray
+        g = g.astype(np.float32)
+        g = g / max(float(g.max()), 1.0)
         g = cv2.resize(g, (_NORM, _NORM), interpolation=cv2.INTER_AREA)
         n = np.linalg.norm(g)
         return g / n if n > 0 else g
@@ -68,13 +99,14 @@ class GlyphRecognizer:
         g = self._norm_glyph(glyph)
         ar_g = glyph.shape[1] / max(glyph.shape[0], 1)
         best, best_score = "", -1.0
-        for ch, (t, ar_t) in self.templates.items():
-            score = float((g * t).sum())
-            # aspect-ratio prior distinguishes e.g. '_' from '-' and ':' from ';'
-            ar_penalty = min(ar_g, ar_t) / max(ar_g, ar_t)
-            score *= 0.6 + 0.4 * ar_penalty
-            if score > best_score:
-                best, best_score = ch, score
+        for ch, variants in self.templates.items():
+            for t, ar_t in variants:
+                score = float((g * t).sum())
+                # aspect-ratio prior distinguishes e.g. '_' from '-', ':' from ';'
+                ar_penalty = min(ar_g, ar_t) / max(ar_g, ar_t)
+                score *= 0.6 + 0.4 * ar_penalty
+                if score > best_score:
+                    best, best_score = ch, score
         return best if best_score > 0.3 else ""
 
     def recognize(self, crop: Image.Image) -> str:
@@ -169,6 +201,61 @@ class LinenoReader(GlyphRecognizer):
     then classifies the glyphs between them against DIGIT templates only —
     a 10-class problem the template matcher solves reliably."""
 
+    def _read_components(self, band: np.ndarray, Hb: int) -> Optional[int]:
+        """Connected-component structural parse. Column segmentation (the
+        fallback below) fails on proportional faces whose underscore advances
+        UNDER the previous glyph (DejaVu kerning merges their column spans);
+        components keep the underscore separate regardless of kerning."""
+        try:
+            import cv2
+        except ImportError:
+            return None
+        n, _labels, stats, _cent = cv2.connectedComponentsWithStats(
+            (band > 0).astype(np.uint8))
+        if n < 4:
+            return None
+        comps = [tuple(int(v) for v in stats[i][:4]) for i in range(1, n)]
+        comps.sort(key=lambda c: c[0])
+        unders = [c for c in comps
+                  if c[1] > 0.6 * Hb and c[3] <= 0.35 * Hb and c[2] >= c[3]]
+        # colon = two small ink blobs stacked on (nearly) the same x-span
+        small = [c for c in comps if c[2] <= 0.35 * Hb and c[3] <= 0.4 * Hb]
+        colons = []
+        for i, a in enumerate(small):
+            for b in small[i + 1:]:
+                if (abs(a[0] - b[0]) <= 1 and abs(a[2] - b[2]) <= 1
+                        and (b[1] >= a[1] + a[3] or a[1] >= b[1] + b[3])):
+                    colons.append((min(a[0], b[0]),
+                                   min(a[1], b[1]), max(a[2], b[2])))
+        digit_templates = {ch: v for ch, v in self.templates.items()
+                           if ch.isdigit()}
+        for u in unders:
+            u_right = u[0] + u[2]
+            for cx, _cy, _cw in sorted(c for c in colons if c[0] >= u_right):
+                between = [c for c in comps
+                           if c[0] >= u_right - 1 and c[0] + c[2] <= cx + 1
+                           and c[3] > 0.4 * Hb]
+                if not (0 < len(between) <= 4):
+                    continue
+                digits = []
+                ok = True
+                for (x, y, w, h) in sorted(between):
+                    g = band[y: y + h, x: x + w]
+                    gn = self._norm_glyph(g)
+                    best, score = "", -1.0
+                    for ch, variants in digit_templates.items():
+                        for t, _ar in variants:
+                            sc = float((gn * t).sum())
+                            if sc > score:
+                                best, score = ch, sc
+                    if score < 0.25:
+                        ok = False
+                        break
+                    digits.append(best)
+                if ok and digits:
+                    return int("".join(digits))
+        return None
+
     def read(self, crop: Image.Image) -> Optional[int]:
         arr = 255 - np.asarray(crop.convert("L"), np.float32)
         if arr.size == 0:
@@ -190,6 +277,9 @@ class LinenoReader(GlyphRecognizer):
         r0, r1 = rows.nonzero()[0][[0, -1]]
         band = arr[r0: r1 + 1]
         Hb = band.shape[0]
+        got = self._read_components(band, Hb)
+        if got is not None:
+            return got
         segments = _segments_of(band)
         if len(segments) < 3:
             return None
@@ -210,7 +300,7 @@ class LinenoReader(GlyphRecognizer):
             blobs = int((runs == 1).sum())
             return (e - s) <= 0.8 * Hb and blobs == 2
 
-        digit_templates = {ch: t for ch, t in self.templates.items()
+        digit_templates = {ch: v for ch, v in self.templates.items()
                            if ch.isdigit()}
         for ui, (s, e) in enumerate(segments):
             if not is_underscore(s, e):
@@ -227,10 +317,11 @@ class LinenoReader(GlyphRecognizer):
                     g = g[gr[0]: gr[-1] + 1]
                     gn = self._norm_glyph(g)
                     best, score = "", -1.0
-                    for ch, (t, _ar) in digit_templates.items():
-                        sc = float((gn * t).sum())
-                        if sc > score:
-                            best, score = ch, sc
+                    for ch, variants in digit_templates.items():
+                        for t, _ar in variants:
+                            sc = float((gn * t).sum())
+                            if sc > score:
+                                best, score = ch, sc
                     if score < 0.25:
                         ok = False
                         break

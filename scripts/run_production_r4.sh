@@ -16,7 +16,7 @@ COMMON="TRAIN.WARMUP_EPOCHS 1 TRAIN.EARLY_STOP_PATIENCE 50 PRINT_FREQ 50"
 timeout 14400 python -m mvuld_tpu.train.pipeline \
   --synthetic 600 --out runs/pipeline_r4 --batch-size 16 \
   --text-epochs 6 --swin-epochs 3 --fusion-epochs 30 \
-  --east-ckpt runs/east_r4 --arch multi_defect_new_gcn \
+  --east-ckpt runs/east_r4b --arch multi_defect_new_gcn \
   --opts $SWIN_OPTS $COMMON
 
 # ---- ablations: retrain fusion only, same OCR-positioned caches

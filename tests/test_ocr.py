@@ -219,3 +219,32 @@ def test_detect_image_pad_to_matches_unpadded():
         return score, geo
 
     assert detect_image(pad_only_apply, None, img, pad_to=256) is None
+
+
+def test_lineno_reader_heldout_style():
+    """The reader must survive a font face it wasn't tuned on: DejaVu glyph
+    templates + connected-component structural parsing (the held-out style's
+    underscore column-merges with its neighbor under kerning)."""
+    from mvuld_tpu.ocr.recognize import LinenoReader
+    from mvuld_tpu.tools.cpg import extract_line_cpg
+    from mvuld_tpu.tools.render import HELD_OUT_STYLE, layout, render_cpg
+    from mvuld_tpu.tools.synthetic import generate_dataset
+
+    reader = LinenoReader()
+    df = generate_dataset(4, seed=123)
+    ok = tot = 0
+    for _, row in df.iterrows():
+        cpg = extract_line_cpg(row.func_before)
+        if cpg is None:
+            continue
+        g = cpg.filtered("all")
+        if len(g.nodes) < 2:
+            continue
+        img, _ = render_cpg(g, out_path=None, style=HELD_OUT_STYLE)
+        for ln, (x0, y0, x1, y1) in layout(g, HELD_OUT_STYLE).items():
+            crop = img.crop((max(x0 - 2, 0), max(y0 - 2, 0),
+                             min(x1 + 2, img.width), min(y1 + 2, img.height)))
+            tot += 1
+            ok += reader.read(crop) == ln
+    assert tot >= 10
+    assert ok / tot >= 0.9, f"{ok}/{tot}"
