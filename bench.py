@@ -40,7 +40,7 @@ BATCH = int(os.environ.get("MVULD_BENCH_BATCH", 64))
 # (~21 MB at C=512): when XLA wraps the custom call into a fusion the
 # per-call vmem_limit_bytes is dropped and the default 16 MB scoped limit
 # applies, so the scoped-VMEM limit is raised for the whole step program.
-FUSED_MLP = os.environ.get("MVULD_BENCH_FUSED_MLP", "0") == "1"
+FUSED_MLP = os.environ.get("MVULD_BENCH_FUSED_MLP", "1") == "1"
 # TPU backend flags must ride the compile request (jit compiler_options):
 # client-side XLA_FLAGS are parsed by the local CPU build, which aborts on
 # TPU-only flag names under the tunneled-TPU setup
