@@ -141,19 +141,35 @@ def main(argv=None) -> dict:
     tok = text_res["tokenizer"]
     rcfg = text_res["roberta_config"]
     text_params = jax.device_get(text_res["state"].params)
-    logger.info(f"text stage done: best_f1={text_res['best_f1']:.4f}")
+    text_best_f1 = text_res["best_f1"]
+    text_test = text_res.get("test_metrics")
+    logger.info(f"text stage done: best_f1={text_best_f1:.4f}")
+    # free the text TrainState (encoder + Adam moments, ~1.5 GB at
+    # UniXcoder-base dims) BEFORE the swin stage compiles: at production
+    # dims the 448² swin fine-tune needs the HBM (observed OOM when the
+    # text buffers lingered). The featurizer is rebuilt lazily below.
+    del text_res
+    import gc
+    gc.collect()
 
-    # trained text encoder as a featurizer (sentence embeddings)
+    # trained text encoder as a featurizer (sentence embeddings); the jit
+    # closure pins the encoder constants to the device, so it is built
+    # ON FIRST USE — after the swin stage has trained and released its
+    # optimizer state
     embedder = UniXcoderEmbedder(rcfg)
-    emb_params = {"params": {"encoder": text_params["encoder"]}}
-
-    @jax.jit
-    def _embed(ids):
-        _toks, sent = embedder.apply(emb_params, ids)
-        return sent
+    _embed_jit = []
 
     def text_encoder(ids: np.ndarray) -> np.ndarray:
-        return np.asarray(_embed(jnp.asarray(np.asarray(ids, np.int32))))
+        if not _embed_jit:
+            emb_params = {"params": {"encoder": text_params["encoder"]}}
+
+            @jax.jit
+            def _embed(ids):
+                _toks, sent = embedder.apply(emb_params, ids)
+                return sent
+
+            _embed_jit.append(_embed)
+        return np.asarray(_embed_jit[0](jnp.asarray(np.asarray(ids, np.int32))))
 
     # ---- stages 3-4: render + caches (trained text, swin features)
     from mvuld_tpu.config import get_config
@@ -180,6 +196,7 @@ def main(argv=None) -> dict:
 
     # ---- stage: trained image encoder (fine-tune and/or load best-F1)
     swin_encoder = None
+    swin_best_f1 = swin_test = None
     if args.swin_epochs > 0 or args.swin_ckpt:
         from mvuld_tpu.models.swin_v2 import SwinTransformerV2, SwinV2Config
 
@@ -199,7 +216,14 @@ def main(argv=None) -> dict:
                           "TRAIN.EPOCHS", str(args.swin_epochs)]
             swin_res = swin_main(swin_args)
             swin_params = jax.device_get(swin_res["state"].params)
-            logger.info(f"swin stage done: best_f1={swin_res['best_f1']:.4f}")
+            swin_best_f1 = swin_res["best_f1"]
+            swin_test = swin_res.get("test_metrics")
+            logger.info(f"swin stage done: best_f1={swin_best_f1:.4f}")
+            # release the swin TrainState (params + AdamW moments) before
+            # the frozen-featurizer jit pins its own copy of the params
+            del swin_res
+            import gc
+            gc.collect()
         else:
             from mvuld_tpu.core.checkpoint import (load_checkpoint,
                                                    resume_bestf1_helper)
@@ -273,14 +297,16 @@ def main(argv=None) -> dict:
         "TRAIN.EPOCHS", str(args.fusion_epochs),
     ])
     summary = {
-        "text_best_f1": text_res["best_f1"],
-        "text_test": text_res.get("test_metrics"),
+        "text_best_f1": text_best_f1,
+        "text_test": text_test,
         "fusion_best_f1": fusion_res["best_f1"],
         "fusion_test": fusion_res.get("test_metrics"),
         "arch": args.arch,
         "image_encoder": ("trained" if (args.swin_epochs > 0 or args.swin_ckpt)
                           else "random_projection"),
         "positions": "ocr" if args.east_ckpt else "oracle",
+        "swin_best_f1": swin_best_f1,
+        "swin_test": swin_test,
     }
     if ocr_stats:
         summary.update(ocr_stats)

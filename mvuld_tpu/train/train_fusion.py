@@ -87,6 +87,12 @@ def main(argv=None) -> dict:
             df = prepare_corpus(generate_dataset(args.synthetic,
                                                  seed=cfg.SEED or 42))
         else:
+            if args.data is None:
+                missing = [p for p in cache_paths.values()
+                           if not os.path.exists(p)]
+                raise FileNotFoundError(
+                    f"fusion caches missing ({missing}) and no --data/"
+                    f"--synthetic corpus given to rebuild them")
             import pandas as pd
             df = pd.read_pickle(args.data)
         from mvuld_tpu.data.tokenizer import CodeTokenizer

@@ -10,7 +10,7 @@ cd /root/repo
 SWIN_OPTS="MODEL.SWINV2.EMBED_DIM 128 MODEL.SWINV2.DEPTHS [2,2,18,2] \
 MODEL.SWINV2.NUM_HEADS [4,8,16,32] MODEL.SWINV2.WINDOW_SIZE 28 \
 MODEL.SWINV2.PRETRAINED_WINDOW_SIZES [12,12,12,6] DATA.IMG_SIZE 448"
-COMMON="TRAIN.WARMUP_EPOCHS 1 TRAIN.EARLY_STOP_PATIENCE 50 PRINT_FREQ 50"
+COMMON="TRAIN.WARMUP_EPOCHS 1 TRAIN.EARLY_STOP_PATIENCE 50 PRINT_FREQ 50 TRAIN.USE_CHECKPOINT True"
 
 # ---- main tri-modal pipeline (OCR positions from the r4 EAST model)
 timeout 14400 python -m mvuld_tpu.train.pipeline \
@@ -20,6 +20,7 @@ timeout 14400 python -m mvuld_tpu.train.pipeline \
   --opts $SWIN_OPTS $COMMON
 
 # ---- ablations: retrain fusion only, same OCR-positioned caches
+test -f runs/pipeline_r4/cache_ocr/train.npz || exit 1
 for arch in multi_defect_nograph multi_defect_noglobalimage multi_defect_nofunc; do
   timeout 3600 python -m mvuld_tpu.train.train_fusion \
     --cache-dir runs/pipeline_r4/cache_ocr --batch-size 16 \
