@@ -51,6 +51,11 @@ FUSED_MLP_COMPILER_OPTS = (
     {"xla_tpu_scoped_vmem_limit_kib": "65536"} if FUSED_MLP else None)
 ITERS = int(os.environ.get("MVULD_BENCH_ITERS", 8))
 REMAT = os.environ.get("MVULD_BENCH_REMAT", "1") == "1"
+# comma-separated stage indices to remat (e.g. "2" = only the 18-block
+# stage); empty/unset = all stages. The early stages' remat recompute runs
+# at 16-26% MXU util (r4 profile) — skipping it trades HBM for step time.
+_rs = os.environ.get("MVULD_BENCH_REMAT_STAGES", "")
+REMAT_STAGES = tuple(int(s) for s in _rs.split(",") if s != "") or None
 REPEATS = int(os.environ.get("MVULD_BENCH_REPEATS", 3))
 # second headline metric (BASELINE.md): fused-model functions/sec at the
 # reference's production dims (512 hidden, 100 nodes, 8 Rs-GCN, 8 FC)
@@ -118,7 +123,8 @@ def main() -> None:
         save_qkv_in_remat=os.environ.get("MVULD_BENCH_SAVE_QKV", "0") == "1",
         window_resident=os.environ.get(
             "MVULD_BENCH_WINDOW_RESIDENT", "0") == "1",
-        use_pallas_mlp=FUSED_MLP)
+        use_pallas_mlp=FUSED_MLP,
+        remat_stages=REMAT_STAGES)
 
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((BATCH, 448, 448, 3), jnp.float32)
@@ -188,6 +194,7 @@ def main() -> None:
         "mfu_vs_139tf_measured": round(
             images_per_sec * flops_per_img / 139e12, 3),
         "batch": BATCH, "fused_steps": ITERS, "remat": REMAT,
+        "remat_stages": list(REMAT_STAGES) if REMAT_STAGES else "all",
         "timings_s": [round(t, 3) for t in times],
         "timings_mean_s": round(float(np.mean(times)), 3),
         "timings_std_s": round(float(np.std(times)), 3),

@@ -697,6 +697,15 @@ class SwinTransformerV2(nn.Module):
     # fused Pallas MLP+LN kernel for the block's second half (stages with
     # C ≤ 512); see SwinBlockV2.use_pallas_mlp
     use_pallas_mlp: bool = False
+    # which stage indices to remat when use_checkpoint is on; None = all.
+    # The early stages' recompute fusions run at 16-26% MXU utilization
+    # (r4 hlo_stats profile, ~25 ms/step at bs64-448) while their saved
+    # activations are comparatively cheap in HBM, so rematting ONLY the
+    # deep stage(s) trades a few GB for that recompute time. (The
+    # reference's torch.utils.checkpoint applies uniformly to every block,
+    # swin_transformer_v2.py:427-431 — per-stage selectivity is a remat-
+    # policy degree of freedom torch's API does not expose there.)
+    remat_stages: Optional[Tuple[int, ...]] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
@@ -732,11 +741,13 @@ class SwinTransformerV2(nn.Module):
         remat_policy = (
             jax.checkpoint_policies.save_only_these_names(*saved_names)
             if saved_names else None)
-        block_cls = (nn.remat(SwinBlockV2, static_argnums=(2,),
-                              policy=remat_policy)
-                     if self.use_checkpoint else SwinBlockV2)
         block_idx = 0
         for i_layer, depth in enumerate(c.depths):
+            stage_ckpt = self.use_checkpoint and (
+                self.remat_stages is None or i_layer in self.remat_stages)
+            block_cls = (nn.remat(SwinBlockV2, static_argnums=(2,),
+                                  policy=remat_policy)
+                         if stage_ckpt else SwinBlockV2)
             dim = int(c.embed_dim * 2 ** i_layer)
             resolution = (res // 2 ** i_layer, res // 2 ** i_layer)
             # window-resident: enter window layout ONCE per stage (only
@@ -754,7 +765,7 @@ class SwinTransformerV2(nn.Module):
                     dpr[block_idx: block_idx + depth], jnp.float32
                 ).reshape(n_pairs, 2)
                 pair_cls = BlockPair
-                if self.use_checkpoint:
+                if stage_ckpt:
                     pair_cls = nn.remat(BlockPair, static_argnums=(3,),
                                         policy=remat_policy)
                 scanned = nn.scan(

@@ -115,3 +115,54 @@ def test_policy_grads_match_no_checkpoint():
         for a, b in zip(flat_ref, flat):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_remat_stages_selective():
+    """remat_stages restricts remat to the named stage indices: a 2-stage
+    model rematting only stage 1 must carry fewer remat-rerun kernel calls
+    than all-stage remat, more than no remat — and identical grads."""
+    cfg = SwinV2Config(img_size=16, patch_size=4, embed_dim=16,
+                       depths=(2, 2), num_heads=(2, 2), window_size=4,
+                       pretrained_window_sizes=(0, 0), drop_path_rate=0.0)
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 16, 16, 3),
+                    jnp.float32)
+    variants = {
+        "all": dict(use_checkpoint=True, remat_stages=None),
+        "stage1_only": dict(use_checkpoint=True, remat_stages=(1,)),
+        "none": dict(use_checkpoint=False),
+    }
+    # structural (Pallas path, jaxpr only — kernels don't run on CPU):
+    # full-recompute policy makes each remat call-site visible as an extra
+    # pallas_call equation in the grad jaxpr
+    counts = {}
+    for name, kw in variants.items():
+        model = SwinTransformerV2(cfg, use_pallas=True,
+                                  save_attn_in_remat=False, **kw)
+        variables = jax.eval_shape(lambda k: model.init(k, x),
+                                   jax.random.PRNGKey(0))
+        variables = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), variables)
+
+        def loss(params, model=model):
+            out = model.apply({"params": params}, x, deterministic=True)
+            return jnp.sum(out ** 2)
+
+        counts[name] = str(jax.make_jaxpr(jax.grad(loss))(
+            variables["params"])).count("pallas_call")
+    assert counts["none"] < counts["stage1_only"] < counts["all"], counts
+    # numerical (XLA path): remat selectivity must never change math
+    grads = {}
+    for name, kw in variants.items():
+        model = SwinTransformerV2(cfg, **kw)
+        variables = model.init(jax.random.PRNGKey(0), x)
+
+        def loss(params, model=model):
+            out = model.apply({"params": params}, x, deterministic=True)
+            return jnp.sum(out ** 2)
+
+        grads[name] = jax.grad(loss)(variables["params"])
+    for other in ("stage1_only", "none"):
+        for a, b in zip(jax.tree_util.tree_leaves(grads["all"]),
+                        jax.tree_util.tree_leaves(grads[other])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
