@@ -161,15 +161,19 @@ def main(argv=None) -> dict:
 
     def text_encoder(ids: np.ndarray) -> np.ndarray:
         if not _embed_jit:
-            emb_params = {"params": {"encoder": text_params["encoder"]}}
-
+            # params ride as jit ARGUMENTS, not closure constants: closed-over
+            # arrays are inlined into the shipped StableHLO, and a 126M-param
+            # encoder (~500 MB of literals) overflows the relay's compile-
+            # request limit (HTTP 413)
             @jax.jit
-            def _embed(ids):
-                _toks, sent = embedder.apply(emb_params, ids)
+            def _embed(enc_params, ids):
+                _toks, sent = embedder.apply(
+                    {"params": {"encoder": enc_params}}, ids)
                 return sent
 
             _embed_jit.append(_embed)
-        return np.asarray(_embed_jit[0](jnp.asarray(np.asarray(ids, np.int32))))
+        return np.asarray(_embed_jit[0](text_params["encoder"],
+                                        jnp.asarray(np.asarray(ids, np.int32))))
 
     # ---- stages 3-4: render + caches (trained text, swin features)
     from mvuld_tpu.config import get_config
@@ -242,16 +246,20 @@ def main(argv=None) -> dict:
             swin_params = load_checkpoint(path)["params"]
             logger.info(f"loaded trained swin encoder from {path}")
 
-        # frozen forward_features featurizer (cache_swin_features equivalent)
+        # frozen forward_features featurizer (cache_swin_features equivalent);
+        # params as jit ARGUMENTS — closure constants are inlined into the
+        # shipped StableHLO and 88M params (~350 MB of literals) overflow the
+        # relay's compile-request limit (HTTP 413)
         swin_model = SwinTransformerV2(sc, scan_blocks=True)
 
         @jax.jit
-        def _feat(x):
-            return swin_model.apply({"params": swin_params}, x,
+        def _feat(params, x):
+            return swin_model.apply({"params": params}, x,
                                     deterministic=True, return_features=True)
 
         def swin_encoder(imgs: np.ndarray) -> np.ndarray:
-            return np.asarray(_feat(jnp.asarray(np.asarray(imgs), jnp.float32)))
+            return np.asarray(_feat(
+                swin_params, jnp.asarray(np.asarray(imgs), jnp.float32)))
 
         cfg.defrost()
         cfg.MODEL.MULTI.IMG_DIM = sc.num_features

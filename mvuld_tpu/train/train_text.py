@@ -155,12 +155,16 @@ def main(argv=None) -> dict:
         if args.save_embeddings:
             # export per-function sentence embeddings for the fusion stage
             emb_model = UniXcoderEmbedder(rcfg)
-            emb_params = {"params": {"encoder": jax.device_get(
-                result["state"].params)["encoder"]}}
+            emb_enc_params = jax.device_get(
+                result["state"].params)["encoder"]
 
+            # params as jit ARGUMENTS: closed-over arrays inline into the
+            # shipped StableHLO, and ~500 MB of encoder literals overflows
+            # the TPU relay's compile-request limit (HTTP 413)
             @jax.jit
-            def embed(ids):
-                _tok, sent = emb_model.apply(emb_params, ids)
+            def embed(enc_params, ids):
+                _tok, sent = emb_model.apply(
+                    {"params": {"encoder": enc_params}}, ids)
                 return sent
 
             reprs = {}
@@ -168,7 +172,8 @@ def main(argv=None) -> dict:
                 for i in range(0, len(ds), cfg.DATA.BATCH_SIZE):
                     idx = list(range(i, min(i + cfg.DATA.BATCH_SIZE, len(ds))))
                     ids = np.stack([ds.columns["input_ids"][j] for j in idx])
-                    sent = np.asarray(embed(jnp.asarray(ids)))
+                    sent = np.asarray(embed(emb_enc_params,
+                                            jnp.asarray(ids)))
                     for j, row in zip(idx, sent):
                         reprs[int(ds.columns["_id"][j])] = row
             os.makedirs(os.path.dirname(args.save_embeddings) or ".", exist_ok=True)
