@@ -160,6 +160,18 @@ def build_fusion_cache(df, cache_dir: str, cfg, *, text_encoder=None,
             arrs["lineno"][i] = pg.lineno
             arrs["ntype"][i] = pg.ntype
 
+        def _pad_call(encoder, x):
+            # pad the tail chunk up to encode_batch rows: every dispatch
+            # then has ONE shape, so the (expensive, 15+ min cold over the
+            # TPU relay) encoder compile happens exactly once per encoder
+            # across all chunks and partitions
+            x = np.asarray(x)
+            k = len(x)
+            if k == encode_batch:
+                return np.asarray(encoder(x))
+            pad = np.repeat(x[:1], encode_batch - k, axis=0)
+            return np.asarray(encoder(np.concatenate([x, pad], 0)))[:k]
+
         if tokenizer is not None:
             if text_encoder is not None:
                 # whole-function embeddings (cunixcoder result.pkl
@@ -168,8 +180,8 @@ def build_fusion_cache(df, cache_dir: str, cfg, *, text_encoder=None,
                     chunk = funcs[lo:lo + encode_batch]
                     fids = tokenizer.tokenize(chunk,
                                               max_length=cfg.DATA.FUNC_TOKENS)
-                    arrs["text_emb"][lo:lo + len(chunk)] = np.asarray(
-                        text_encoder(fids))
+                    arrs["text_emb"][lo:lo + len(chunk)] = _pad_call(
+                        text_encoder, fids)
             # per-line node tokenization + embeddings (myEncode,
             # data_list.py:292-299; token ids: item1, :235-263): flatten all
             # (row, node) lines, process in chunks, scatter back
@@ -186,7 +198,7 @@ def build_fusion_cache(df, cache_dir: str, cfg, *, text_encoder=None,
                 chunk = flat_lines[lo:lo + encode_batch]
                 nids = np.asarray(tokenizer.tokenize(
                     chunk, max_length=cfg.DATA.NODE_TOKENS))
-                emb = (np.asarray(text_encoder(nids))
+                emb = (_pad_call(text_encoder, nids)
                        if text_encoder is not None else None)
                 for k, (i, j) in enumerate(flat_idx[lo:lo + len(chunk)]):
                     arrs["token_ids"][i, j] = nids[k]
@@ -200,8 +212,8 @@ def build_fusion_cache(df, cache_dir: str, cfg, *, text_encoder=None,
                     resize_normalize(load_image(paths[int(_id)]),
                                      cfg.DATA.IMG_SIZE)
                     for _id in ids[lo:lo + encode_batch]])
-                arrs["img_emb"][lo:lo + len(imgs)] = np.asarray(
-                    swin_encoder(imgs))
+                arrs["img_emb"][lo:lo + len(imgs)] = _pad_call(
+                    swin_encoder, imgs)
         np.savez_compressed(npz_path, **arrs)
         if logger:
             logger.info(f"cached {n} items → {npz_path}")

@@ -34,3 +34,8 @@ done
 timeout 10800 python -m mvuld_tpu.train.train_e2e \
   --synthetic 600 --batch-size 16 --output runs/e2e_r4 \
   --opts $SWIN_OPTS TRAIN.EPOCHS 30 $COMMON
+
+# ---- durable evidence: runs/ is gitignored and the workspace can be
+#      reset between sessions, so copy the small summary/metric files
+#      (no checkpoints) into the committed artifacts tree
+bash scripts/capture_artifacts_r4.sh || true
