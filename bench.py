@@ -52,10 +52,12 @@ FUSED_MLP_COMPILER_OPTS = (
 ITERS = int(os.environ.get("MVULD_BENCH_ITERS", 8))
 REMAT = os.environ.get("MVULD_BENCH_REMAT", "1") == "1"
 # comma-separated stage indices to remat (e.g. "2" = only the 18-block
-# stage); empty/unset = all stages. The early stages' remat recompute runs
-# at 16-26% MXU util (r4 profile) — skipping it trades HBM for step time.
-_rs = os.environ.get("MVULD_BENCH_REMAT_STAGES", "")
-REMAT_STAGES = tuple(int(s) for s in _rs.split(",") if s != "") or None
+# stage); "all" = every stage. The early stages' remat recompute runs at
+# 16-26% MXU util (r4 profile) — skipping it trades HBM for step time:
+# measured 73.60 img/s (all) vs 74.44 (stage 2 only), so "2" is the default.
+_rs = os.environ.get("MVULD_BENCH_REMAT_STAGES", "2")
+REMAT_STAGES = (None if _rs == "all"
+                else tuple(int(s) for s in _rs.split(",") if s != "") or None)
 REPEATS = int(os.environ.get("MVULD_BENCH_REPEATS", 3))
 # second headline metric (BASELINE.md): fused-model functions/sec at the
 # reference's production dims (512 hidden, 100 nodes, 8 Rs-GCN, 8 FC)
