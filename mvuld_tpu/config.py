@@ -161,6 +161,11 @@ def default_config() -> CfgNode:
     _C.TRAIN.ACCUMULATION_STEPS = 1
     _C.TRAIN.FUSED_STEPS = 1       # K optimizer steps per device dispatch (lax.scan)
     _C.TRAIN.USE_CHECKPOINT = False        # activation remat (jax.checkpoint)
+    _C.TRAIN.REMAT_STAGES = []     # stage indices to remat when USE_CHECKPOINT;
+    #                                [] = all stages. Skipping the cheap stages'
+    #                                low-util recompute (16-26% MXU, r4 profile)
+    #                                trades HBM for step time: [2] measured
+    #                                74.44 vs 73.60 img/s on the 448 bench
     _C.TRAIN.FUSED_MLP = False     # Pallas fused MLP+LN block half (TPU only;
     #                                ops/fused_dense.py mlp_ln, stages C<=512)
     _C.TRAIN.EARLY_STOP_PATIENCE = 50      # fusion default (main_bigvul.py early stop)

@@ -90,7 +90,8 @@ def main(argv=None) -> dict:
     on_tpu = jax.default_backend() not in ("cpu",)
     model = SwinTransformerV2(sc, use_checkpoint=cfg.TRAIN.USE_CHECKPOINT,
                               scan_blocks=True, use_pallas=on_tpu,
-                              use_pallas_mlp=on_tpu and cfg.TRAIN.FUSED_MLP)
+                              use_pallas_mlp=on_tpu and cfg.TRAIN.FUSED_MLP,
+                              remat_stages=tuple(cfg.TRAIN.REMAT_STAGES) or None)
     # the fused-MLP bwd kernel + scan dW accumulator fusion needs ~52 MB of
     # scoped VMEM (default limit 16 MB); the flag must ride the compile
     # request — client-side XLA_FLAGS can't carry TPU flag names here

@@ -26,6 +26,10 @@ def test_merge_from_list_coercion():
     assert cfg.DATA.BATCH_SIZE == 32
     assert cfg.MODEL.SWINV2.DEPTHS == [2, 2, 18, 2]
     assert cfg.AMP_ENABLE is False
+    # selective-remat knob: [] default (= all stages), list override parses
+    assert cfg.TRAIN.REMAT_STAGES == []
+    cfg.merge_from_list(["TRAIN.REMAT_STAGES", "[2]"])
+    assert tuple(cfg.TRAIN.REMAT_STAGES) == (2,)
 
 
 def test_yaml_base_include(tmp_path):
