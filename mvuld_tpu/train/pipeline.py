@@ -86,6 +86,8 @@ def _ocr_positions(east_ckpt: str, df, cache_dir: str, out_dir: str, cfg,
 
 
 def main(argv=None) -> dict:
+    from mvuld_tpu.parallel.mesh import enable_compile_cache
+    enable_compile_cache()  # persistent XLA cache: relay compiles are 15-40 min cold
     parser = argparse.ArgumentParser()
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--data", default=None)

@@ -211,6 +211,8 @@ def _bce_train(model, data, epochs, lr, seed, batch_size, logger):
 
 
 def main(argv=None) -> dict:
+    from mvuld_tpu.parallel.mesh import enable_compile_cache
+    enable_compile_cache()  # persistent XLA cache: relay compiles are 15-40 min cold
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", choices=["devign", "reveal", "ivdetect"],
                         required=True)

@@ -65,6 +65,8 @@ def build_e2e_cache(df, cfg, tok, cache_path: str, img_size: int, logger=None):
 
 
 def main(argv=None) -> dict:
+    from mvuld_tpu.parallel.mesh import enable_compile_cache
+    enable_compile_cache()  # persistent XLA cache: relay compiles are 15-40 min cold
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", default=None)
     parser.add_argument("--synthetic", type=int, default=0)

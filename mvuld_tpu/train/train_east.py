@@ -289,6 +289,8 @@ def _run_evals(args, model, params, batch_stats, logger, result) -> dict:
 
 
 def main(argv=None) -> dict:
+    from mvuld_tpu.parallel.mesh import enable_compile_cache
+    enable_compile_cache()  # persistent XLA cache: relay compiles are 15-40 min cold
     parser = argparse.ArgumentParser()
     parser.add_argument("--synthetic", type=int, default=100)
     parser.add_argument("--img-size", type=int, default=256)

@@ -42,6 +42,8 @@ def load_cached_datasets(cache_paths):
 
 
 def main(argv=None) -> dict:
+    from mvuld_tpu.parallel.mesh import enable_compile_cache
+    enable_compile_cache()  # persistent XLA cache: relay compiles are 15-40 min cold
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", default=None)
     parser.add_argument("--cache-dir", default=None)

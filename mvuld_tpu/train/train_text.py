@@ -52,6 +52,8 @@ def get_or_train_tokenizer(df, path: Optional[str], vocab_size: int = 8192):
 
 
 def main(argv=None) -> dict:
+    from mvuld_tpu.parallel.mesh import enable_compile_cache
+    enable_compile_cache()  # persistent XLA cache: relay compiles are 15-40 min cold
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", default=None)
     parser.add_argument("--data", default=None, help="corpus pickle (pandas)")
