@@ -169,6 +169,14 @@ def default_config() -> CfgNode:
     _C.TRAIN.FUSED_MLP = False     # Pallas fused MLP+LN block half (TPU only;
     #                                ops/fused_dense.py mlp_ln, stages C<=512)
     _C.TRAIN.EARLY_STOP_PATIENCE = 50      # fusion default (main_bigvul.py early stop)
+    _C.TRAIN.BEST_SAVE = "full"    # what the best-F1 snapshot/checkpoint holds:
+    #                                "full" = params + optimizer moments +
+    #                                batch_stats (reference semantics,
+    #                                utils.py:143-176, resumable from best);
+    #                                "params" = params + batch_stats only —
+    #                                ~3x cheaper host fetch per improvement
+    #                                over the TPU relay (the e2e 220M-param
+    #                                full state is a ~2.6 GB transfer)
     _C.TRAIN.DATA_PATH = "datasets/total/train_balanced.txt"
     _C.TRAIN.LR_SCHEDULER = CfgNode()
     _C.TRAIN.LR_SCHEDULER.NAME = "cosine"

@@ -144,8 +144,15 @@ def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
                     f"({time.time() - t_epoch:.1f}s)")
 
         if stopper.update(val_metrics["f1"], epoch):
+            # TRAIN.BEST_SAVE="params" skips the optimizer moments — the
+            # dominant 2/3 of the host fetch over the TPU relay; the best
+            # checkpoint then restores with fresh opt_state
+            # (restore_train_state keeps unknown fields from the incoming
+            # state), which only matters for resume-from-best, not eval.
+            full = getattr(cfg.TRAIN, "BEST_SAVE", "full") != "params"
             best_host = {"params": jax.device_get(state.params),
-                         "opt_state": jax.device_get(state.opt_state),
+                         "opt_state": (jax.device_get(state.opt_state)
+                                       if full else None),
                          "batch_stats": jax.device_get(state.batch_stats),
                          "step": int(state.step)}
             if save_best and output_dir:
@@ -178,9 +185,10 @@ def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
     # swapped for host arrays), so peak HBM stays at one TrainState copy.
     if best_host is not None:
         state = state.replace(params=best_host["params"],
-                              opt_state=best_host["opt_state"],
                               batch_stats=best_host["batch_stats"],
-                              step=np.asarray(best_host["step"], np.int32))
+                              step=np.asarray(best_host["step"], np.int32),
+                              **({"opt_state": best_host["opt_state"]}
+                                 if best_host["opt_state"] is not None else {}))
         if mesh is not None:
             from mvuld_tpu.parallel.mesh import replicate
             state = replicate(mesh, state)

@@ -8,6 +8,7 @@ contract — the returned state is the state from the best validation
 epoch, not the final epoch — must survive that change.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,3 +59,57 @@ def test_fit_returns_best_epoch_state(tmp_path):
     assert float(res["state"].params["w"]) == 2.0
     # the final test eval ran on the re-materialized best state
     assert res["test_metrics"]["f1"] == 1.0
+
+
+def test_fit_best_save_params_only(tmp_path):
+    """TRAIN.BEST_SAVE='params': the snapshot skips optimizer moments (the
+    relay-expensive 2/3 of the fetch); the best checkpoint still restores
+    (fresh opt_state) and fit() still returns the best-epoch params."""
+    import optax
+
+    from mvuld_tpu.core.checkpoint import (resume_bestf1_helper,
+                                           restore_train_state)
+
+    cfg = default_config()
+    cfg.DATA.BATCH_SIZE = 8
+    cfg.TRAIN.EPOCHS = 3
+    cfg.TRAIN.EARLY_STOP_PATIENCE = 10
+    cfg.TRAIN.BEST_SAVE = "params"
+    cfg.PRINT_FREQ = 1000
+    cfg.SAVE_FREQ = 0
+
+    n = 16
+    ds = ArrayDataset({"x": np.zeros((n, 2), np.float32),
+                       "label": np.arange(n, dtype=np.int32) % 2})
+
+    def train_step(state, batch, rng):
+        return (state.replace(step=state.step + 1,
+                              params={"w": state.params["w"] + 1.0}),
+                {"loss": jnp.zeros(())})
+
+    def eval_step(state, batch):
+        good = int(state.step) <= 2
+        one_hot = np.eye(2, dtype=np.float32)[np.asarray(batch["label"])]
+        return jnp.asarray(one_hot if good else 1.0 - one_hot) * 10.0
+
+    # adam has real moments, so the size saving is observable semantics:
+    # the restored opt_state must come from the INCOMING state, not disk
+    tx = optax.adam(1e-3)
+    state = TrainState.create(params={"w": jnp.zeros(())}, tx=tx)
+    res = fit(cfg=cfg, state=state, train_step=train_step,
+              eval_step=eval_step, train_ds=ds, val_ds=ds, test_ds=ds,
+              output_dir=str(tmp_path), save_best=True)
+
+    assert float(res["state"].params["w"]) == 2.0
+    assert res["test_metrics"]["f1"] == 1.0
+
+    path = resume_bestf1_helper(str(tmp_path))
+    fresh = TrainState.create(params={"w": jnp.full((), -1.0)}, tx=tx)
+    restored, meta = restore_train_state(path, fresh, with_meta=True)
+    assert float(restored.params["w"]) == 2.0
+    assert meta["epoch"] == 0
+    # opt_state kept from the incoming (fresh) state — not on disk
+    a = jax.tree_util.tree_leaves(restored.opt_state)
+    b = jax.tree_util.tree_leaves(fresh.opt_state)
+    assert all(np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(a, b))
