@@ -123,8 +123,12 @@ def main() -> None:
         scan_blocks=os.environ.get("MVULD_BENCH_SCAN", "1") == "1",
         use_pallas=True,
         save_qkv_in_remat=os.environ.get("MVULD_BENCH_SAVE_QKV", "0") == "1",
+        # window-resident block pairs: activations stay in window layout
+        # between the unshifted and shifted block, skipping a reverse→
+        # partition layout round trip per pair. 75.66 vs 74.44 img/s
+        # measured with the rest of this default config.
         window_resident=os.environ.get(
-            "MVULD_BENCH_WINDOW_RESIDENT", "0") == "1",
+            "MVULD_BENCH_WINDOW_RESIDENT", "1") == "1",
         use_pallas_mlp=FUSED_MLP,
         remat_stages=REMAT_STAGES)
 

@@ -168,6 +168,13 @@ def default_config() -> CfgNode:
     #                                74.44 vs 73.60 img/s on the 448 bench
     _C.TRAIN.FUSED_MLP = False     # Pallas fused MLP+LN block half (TPU only;
     #                                ops/fused_dense.py mlp_ln, stages C<=512)
+    _C.TRAIN.WINDOW_RESIDENT = False   # keep activations in window layout
+    #                                between consecutive blocks (TPU/Pallas
+    #                                path only): skips the window_reverse →
+    #                                window_partition round trip on the
+    #                                unshifted→shifted block pairs. Measured
+    #                                75.66 vs 74.44 img/s on the 448 bench
+    #                                with FUSED_MLP + REMAT_STAGES [2].
     _C.TRAIN.EARLY_STOP_PATIENCE = 50      # fusion default (main_bigvul.py early stop)
     _C.TRAIN.BEST_SAVE = "full"    # what the best-F1 snapshot/checkpoint holds:
     #                                "full" = params + optimizer moments +

@@ -93,6 +93,8 @@ def main(argv=None) -> dict:
     model = SwinTransformerV2(sc, use_checkpoint=cfg.TRAIN.USE_CHECKPOINT,
                               scan_blocks=True, use_pallas=on_tpu,
                               use_pallas_mlp=on_tpu and cfg.TRAIN.FUSED_MLP,
+                              window_resident=(on_tpu
+                                               and cfg.TRAIN.WINDOW_RESIDENT),
                               remat_stages=tuple(cfg.TRAIN.REMAT_STAGES) or None)
     # the fused-MLP bwd kernel + scan dW accumulator fusion needs ~52 MB of
     # scoped VMEM (default limit 16 MB); the flag must ride the compile
