@@ -341,8 +341,12 @@ class LinenoReader(GlyphRecognizer):
             return None
         comps = [tuple(int(v) for v in stats[i][:4]) for i in range(1, n)]
         comps.sort(key=lambda c: c[0])
+        # a real underscore is a WIDE flat bar near the baseline; the width
+        # floor keeps 1-px baseline dots (a colon's bottom blob, serif
+        # fragments) from being mistaken for one
         unders = [c for c in comps
-                  if c[1] > 0.6 * Hb and c[3] <= 0.35 * Hb and c[2] >= c[3]]
+                  if c[1] > 0.6 * Hb and c[3] <= 0.35 * Hb
+                  and c[2] >= max(c[3], 0.3 * Hb)]
         # colon = two small ink blobs stacked on (nearly) the same x-span
         small = [c for c in comps if c[2] <= 0.35 * Hb and c[3] <= 0.4 * Hb]
         colons = []
@@ -352,33 +356,65 @@ class LinenoReader(GlyphRecognizer):
                         and (b[1] >= a[1] + a[3] or a[1] >= b[1] + b[3])):
                     colons.append((min(a[0], b[0]),
                                    min(a[1], b[1]), max(a[2], b[2])))
+        def classify_between(left_x: int, right_x: int,
+                             floor: float) -> Optional[int]:
+            """Digits of the components strictly between two x bounds.
+
+            Thin-stroke faces (STIX '0', Computer Modern '5') can BREAK one
+            digit into several components after binarization; real digits
+            in a number keep >=1 px of x-gap, broken pieces touch
+            (x-gap <= 0) or stack (x-overlap) — merge those before
+            classification; then split boxes too wide for one digit (fused
+            monospace crossbars)."""
+            between = [c for c in comps
+                       if c[0] >= left_x - 1 and c[0] + c[2] <= right_x + 1
+                       and c[3] > 0.4 * Hb]
+            between = _merge_split_components(sorted(between), Hb)
+            between = _split_wide_components(between, band, Hb)
+            if not (0 < len(between) <= 4):
+                return None
+            digits = []
+            for (x, y, w, h) in sorted(between):
+                best, score = self._digit_score(band[y: y + h, x: x + w])
+                if score < floor:
+                    return None
+                digits.append(best)
+            return int("".join(digits)) if digits else None
+
         for u in unders:
             u_right = u[0] + u[2]
             for cx, _cy, _cw in sorted(c for c in colons if c[0] >= u_right):
-                between = [c for c in comps
-                           if c[0] >= u_right - 1 and c[0] + c[2] <= cx + 1
-                           and c[3] > 0.4 * Hb]
-                # thin-stroke faces (STIX '0', Computer Modern '5') can
-                # BREAK one digit into several components after
-                # binarization; real digits in a number keep >=1 px of
-                # x-gap, broken pieces touch (x-gap <= 0) or stack
-                # (x-overlap) — merge those before classification; then
-                # split boxes too wide for one digit (fused monospace
-                # crossbars)
-                between = _merge_split_components(sorted(between), Hb)
-                between = _split_wide_components(between, band, Hb)
-                if not (0 < len(between) <= 4):
-                    continue
-                digits = []
-                ok = True
-                for (x, y, w, h) in sorted(between):
-                    best, score = self._digit_score(band[y: y + h, x: x + w])
-                    if score < 0.25:
-                        ok = False
-                        break
-                    digits.append(best)
-                if ok and digits:
-                    return int("".join(digits))
+                got = classify_between(u_right, cx, 0.25)
+                if got is not None:
+                    return got
+        # Degenerate-separator fallback: TeX-encoded faces (matplotlib's
+        # Computer Modern cmr10/cmss10) map ASCII '_' to a tiny accent
+        # glyph, so no baseline underscore exists — the label still reads
+        # "letters <tiny sep> digits <colon> code". Accept any small
+        # free-standing component as the separator, at a HIGHER digit-
+        # confidence floor since the structure is weaker. Only reached
+        # when no underscore parse succeeded, so faces with a real
+        # underscore never take this path.
+        tall = [c for c in comps if c[3] > 0.4 * Hb]
+
+        def free_standing(c) -> bool:
+            """True when the small component shares no x-span with any tall
+            glyph — stray serif/stroke fragments live inside a letter's or
+            digit's x-range, the TeX dot stands alone between words."""
+            return all(c[0] + c[2] <= t[0] or c[0] >= t[0] + t[2]
+                       for t in tall)
+
+        seps = [c for c in comps
+                if c[2] <= 0.3 * Hb and c[3] <= 0.3 * Hb and free_standing(c)]
+        for cx, _cy, _cw in sorted(c for c in colons):
+            # nearest qualifying separator LEFT of the colon is the label's
+            # '_' stand-in; scanning nearest-first keeps fragments earlier
+            # in the NTYPE word from hijacking the parse
+            for s in sorted((c for c in seps if c[0] + c[2] < cx),
+                            key=lambda c: -(c[0] + c[2])):
+                got = classify_between(s[0] + s[2], cx, 0.30)
+                if got is not None:
+                    return got
         return None
 
     def read(self, crop: Image.Image) -> Optional[int]:
