@@ -60,8 +60,13 @@ def _template_fonts(font_size: int) -> list:
     matplotlib-shipped text families above, each at two sizes. More faces
     only add template variants; matching stays per-glyph max-correlation."""
     fonts = []
+    # multiple sizes per face: glyphs are resize-normalized for matching,
+    # but stroke-weight/proportion rendering differs enough across sizes
+    # (bitmap '5' at 22 px vs a 14 px template) to flip close digit pairs
+    sizes = (font_size, font_size + 3, font_size + 8)
     try:
-        fonts.append(ImageFont.load_default(size=font_size))
+        for sz in sizes:
+            fonts.append(ImageFont.load_default(size=sz))
     except TypeError:
         fonts.append(ImageFont.load_default())
     try:
@@ -73,7 +78,7 @@ def _template_fonts(font_size: int) -> list:
         for ttf in _BANK_TTFS:
             p = os.path.join(d, ttf)
             if os.path.exists(p):
-                for sz in (font_size, font_size + 3):
+                for sz in sizes:
                     fonts.append(ImageFont.truetype(p, sz))
     except ImportError:
         pass
@@ -82,13 +87,18 @@ def _template_fonts(font_size: int) -> list:
 
 class GlyphRecognizer:
     def __init__(self, charset: str = _CHARSET, font_size: int = _FONT_SIZE):
+        # variants are (normalized template, aspect ratio, raw pixel height);
+        # matching restricts to variants near the query's height — glyph
+        # proportions drift with rendered size, and letting a 22-px '5'
+        # template compete for a 12-px '6' query flips close digit pairs
         self.templates: Dict[str, list] = {}
         for font in _template_fonts(font_size):
             for ch in charset:
                 t = _render_glyph(ch, font)
                 if t.size > 1:
                     self.templates.setdefault(ch, []).append(
-                        (self._norm_glyph(t), t.shape[1] / max(t.shape[0], 1)))
+                        (self._norm_glyph(t),
+                         t.shape[1] / max(t.shape[0], 1), t.shape[0]))
 
     # -- glyph classification -------------------------------------------------
     @staticmethod
@@ -137,16 +147,28 @@ class GlyphRecognizer:
         in unseen faces. Soft (x0.93) because thin strokes can break a loop
         open after binarization."""
         gn = self._norm_glyph(g)
-        holes = _hole_count(g)
+        holes = _hole_counts(g)
+        hq = g.shape[0]
         best, best_score = "", -1.0
         for ch, variants in self.templates.items():
             if not ch.isdigit():
                 continue
-            prior = 1.0 if holes in self._DIGIT_HOLES[ch] else 0.93
-            for t, _ar in variants:
+            prior = 1.0 if holes & self._DIGIT_HOLES[ch] else 0.93
+            for t, _ar, th in variants:
+                if not (0.55 * hq <= th <= 1.8 * hq):
+                    continue
                 sc = float((gn * t).sum()) * prior
                 if sc > best_score:
                     best, best_score = ch, sc
+        if best_score < 0:    # query outside every size bucket: use all
+            for ch, variants in self.templates.items():
+                if not ch.isdigit():
+                    continue
+                prior = 1.0 if holes & self._DIGIT_HOLES[ch] else 0.93
+                for t, _ar, _th in variants:
+                    sc = float((gn * t).sum()) * prior
+                    if sc > best_score:
+                        best, best_score = ch, sc
         return best, best_score
 
     def _match(self, glyph: np.ndarray) -> str:
@@ -154,15 +176,22 @@ class GlyphRecognizer:
             return ""
         g = self._norm_glyph(glyph)
         ar_g = glyph.shape[1] / max(glyph.shape[0], 1)
+        hq = glyph.shape[0]
         best, best_score = "", -1.0
-        for ch, variants in self.templates.items():
-            for t, ar_t in variants:
-                score = float((g * t).sum())
-                # aspect-ratio prior distinguishes e.g. '_' from '-', ':' from ';'
-                ar_penalty = min(ar_g, ar_t) / max(ar_g, ar_t)
-                score *= 0.6 + 0.4 * ar_penalty
-                if score > best_score:
-                    best, best_score = ch, score
+        for widen in (False, True):
+            for ch, variants in self.templates.items():
+                for t, ar_t, th in variants:
+                    if not widen and not (0.55 * hq <= th <= 1.8 * hq):
+                        continue
+                    score = float((g * t).sum())
+                    # aspect-ratio prior distinguishes e.g. '_' from '-',
+                    # ':' from ';'
+                    ar_penalty = min(ar_g, ar_t) / max(ar_g, ar_t)
+                    score *= 0.6 + 0.4 * ar_penalty
+                    if score > best_score:
+                        best, best_score = ch, score
+            if best_score >= 0:   # a size bucket matched; no need to widen
+                break
         return best if best_score > 0.3 else ""
 
     def recognize(self, crop: Image.Image) -> str:
@@ -237,20 +266,30 @@ class GlyphRecognizer:
         return "".join(text)
 
 
-def _hole_count(g: np.ndarray) -> int:
-    """Number of enclosed background regions (typographic counters) in a
-    glyph crop: background components after 1-px zero padding, minus the
-    outer region. A 3x3 morphological close first heals the 1-px stroke
-    breaks thin faces leave after binarization (a broken '8' reads as 0
-    holes otherwise, exactly the ambiguity the count exists to resolve)."""
+def _hole_counts(g: np.ndarray) -> set:
+    """Enclosed-background-region (typographic counter) counts of a glyph
+    crop, measured both RAW and after a 3x3 morphological close, returned
+    as a set. The close heals the 1-px stroke breaks thin faces leave
+    after binarization (a broken '8' reads 0 holes raw) — but it can also
+    seal a genuinely open aperture (a tight '5' bowl reads 1 hole closed),
+    so topology is "consistent" when EITHER measurement matches."""
     try:
         import cv2
     except ImportError:
-        return -1
+        return {-1}
     binary = np.pad((g > 0).astype(np.uint8), 2)
-    binary = cv2.morphologyEx(binary, cv2.MORPH_CLOSE, np.ones((3, 3), np.uint8))
-    n_bg, _ = cv2.connectedComponents((1 - binary).astype(np.uint8))
-    return max(int(n_bg) - 2, 0)   # minus label-0 offset and outer region
+    out = set()
+    for b in (binary, cv2.morphologyEx(binary, cv2.MORPH_CLOSE,
+                                       np.ones((3, 3), np.uint8))):
+        n_bg, _ = cv2.connectedComponents((1 - b).astype(np.uint8))
+        out.add(max(int(n_bg) - 2, 0))   # minus label-0 and outer region
+    return out
+
+
+def _hole_count(g: np.ndarray) -> int:
+    """Closed-form counter count (see _hole_counts); kept for tests."""
+    counts = _hole_counts(g)
+    return max(counts) if counts != {-1} else -1
 
 
 def _split_wide_components(comps: List[tuple], band: np.ndarray,
@@ -343,17 +382,30 @@ class LinenoReader(GlyphRecognizer):
         comps.sort(key=lambda c: c[0])
         # a real underscore is a WIDE flat bar near the baseline; the width
         # floor keeps 1-px baseline dots (a colon's bottom blob, serif
-        # fragments) from being mistaken for one
+        # fragments) from being mistaken for one, and the clear-above test
+        # rejects the bottom bar of '=' in the code text (an underscore
+        # hangs below the baseline with its own advance width — nothing
+        # sits on top of it)
+        def clear_above(c) -> bool:
+            if c[1] == 0:
+                return True
+            above = band[: c[1], c[0]: c[0] + c[2]]
+            return float((above.max(axis=0) > 0).mean()) <= 0.4
+
         unders = [c for c in comps
                   if c[1] > 0.6 * Hb and c[3] <= 0.35 * Hb
-                  and c[2] >= max(c[3], 0.3 * Hb)]
-        # colon = two small ink blobs stacked on (nearly) the same x-span
+                  and c[2] >= max(c[3], 0.3 * Hb) and clear_above(c)]
+        # colon = two small ink blobs stacked on (nearly) the same x-span;
+        # the x tolerance grows with their vertical separation so italic/
+        # oblique faces (dots offset by the slant, ~0.2 x the gap) still
+        # pair up
         small = [c for c in comps if c[2] <= 0.35 * Hb and c[3] <= 0.4 * Hb]
         colons = []
         for i, a in enumerate(small):
             for b in small[i + 1:]:
-                if (abs(a[0] - b[0]) <= 1 and abs(a[2] - b[2]) <= 1
-                        and (b[1] >= a[1] + a[3] or a[1] >= b[1] + b[3])):
+                vsep = max(b[1] - (a[1] + a[3]), a[1] - (b[1] + b[3]))
+                if (vsep >= 0 and abs(a[2] - b[2]) <= 1
+                        and abs(a[0] - b[0]) <= 1 + 0.3 * vsep):
                     colons.append((min(a[0], b[0]),
                                    min(a[1], b[1]), max(a[2], b[2])))
         def classify_between(left_x: int, right_x: int,
@@ -366,11 +418,17 @@ class LinenoReader(GlyphRecognizer):
             (x-gap <= 0) or stack (x-overlap) — merge those before
             classification; then split boxes too wide for one digit (fused
             monospace crossbars)."""
+            # low pre-filter so a broken digit's small piece (a '2' whose
+            # bottom bar disconnects) survives to the merge; the STRICT
+            # right bound keeps the colon's own blobs out, and the
+            # post-merge height floor drops whatever small debris stays
+            # unmerged
             between = [c for c in comps
-                       if c[0] >= left_x - 1 and c[0] + c[2] <= right_x + 1
-                       and c[3] > 0.4 * Hb]
+                       if c[0] >= left_x - 1 and c[0] + c[2] <= right_x
+                       and c[3] >= 2]
             between = _merge_split_components(sorted(between), Hb)
-            between = _split_wide_components(between, band, Hb)
+            between = [c for c in _split_wide_components(between, band, Hb)
+                       if c[3] > 0.4 * Hb]
             if not (0 < len(between) <= 4):
                 return None
             digits = []
@@ -486,7 +544,9 @@ class LinenoReader(GlyphRecognizer):
 
 _CONFUSIONS = str.maketrans({"O": "0", "o": "0", "D": "0", "l": "1", "I": "1",
                              "i": "1", "S": "5", "B": "8", "Z": "2", "g": "9"})
-_LINENO_RE = re.compile(r"[_\-]([0-9OolIiSBZgD]+?)[:;Il|]")
+# trailing class = glyphs OCR confuses with ':' (two stacked blobs read as
+# i/j/I/l/| depending on blur and face)
+_LINENO_RE = re.compile(r"[_\-]([0-9OolIiSBZgD]+?)[:;Iil|j]")
 
 
 def lineno_from_text(text: str) -> Optional[int]:
