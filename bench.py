@@ -80,6 +80,10 @@ SKIP_FUSION = os.environ.get("MVULD_BENCH_SKIP_FUSION", "0") == "1"
 RUN_E2E = os.environ.get("MVULD_BENCH_E2E", "1") == "1"
 E2E_BATCH = int(os.environ.get("MVULD_BENCH_E2E_BATCH", 16))
 E2E_STEPS = int(os.environ.get("MVULD_BENCH_E2E_STEPS", 4))
+# fused Pallas MLP+dropout+residual+LN in the RoBERTa layers
+# (ops/fused_dense.py mlp_ln_res) + the swin-side fused MLP and
+# window-resident pairs inside the e2e model
+E2E_FUSED = os.environ.get("MVULD_BENCH_E2E_FUSED", "0") == "1"
 # packed per-line encoding (models/e2e.py node_capacity): the corpus mean
 # is ~22 valid lines of 100 slots; capacity 512 = 1.25x the mean valid
 # count per bs-16 batch, /128-aligned (same auto-sizing as train_e2e.py)
@@ -326,10 +330,12 @@ def _e2e_bench(jax, jnp, np, rng):
     B, K = E2E_BATCH, E2E_STEPS
     M, Tn, Tf = 100, 64, 512
     cap = min(E2E_NODE_CAPACITY, B * M) or None
-    tc = RobertaConfig(dtype=jnp.bfloat16)
+    tc = RobertaConfig(dtype=jnp.bfloat16, use_pallas_mlp=E2E_FUSED)
     sc = SwinV2Config(dtype=jnp.bfloat16)
     model = EndToEndMVulD(tc, sc, use_pallas=True, scan_blocks=True,
-                          remat=True, node_capacity=cap)
+                          remat=True, node_capacity=cap,
+                          use_pallas_mlp=E2E_FUSED,
+                          window_resident=E2E_FUSED)
 
     data = np.random.RandomState(2)
     # realistic node-count distribution (reference corpora average ~20-25
@@ -372,7 +378,9 @@ def _e2e_bench(jax, jnp, np, rng):
                               batch_stats=variables.get("batch_stats"))
     step = make_multi_train_step(apply_fn, tx, num_steps=K,
                                  label_smoothing=0.1,
-                                 has_batch_stats="batch_stats" in variables)
+                                 has_batch_stats="batch_stats" in variables,
+                                 compiler_options=(FUSED_MLP_COMPILER_OPTS
+                                                   if E2E_FUSED else None))
     state, m = step(state, sb, rng)           # compile + warmup
     assert np.isfinite(np.asarray(m["loss"])).all()
     times = []

@@ -46,6 +46,12 @@ class EndToEndMVulD(nn.Module):
     scan_blocks: bool = False
     remat: bool = False
     node_capacity: int | None = None
+    # fused Pallas MLP+LN for the swin stages (ops/fused_dense.py mlp_ln;
+    # the RoBERTa side's fused MLP rides text_config.use_pallas_mlp) and
+    # window-resident block pairs — the same two levers that took the
+    # dedicated swin bench from 73.6 to 75.66 img/s
+    use_pallas_mlp: bool = False
+    window_resident: bool = False
 
     @nn.compact
     def __call__(self, func_ids, node_ids, image, pos, adj, node_mask,
@@ -85,6 +91,8 @@ class EndToEndMVulD(nn.Module):
         img_emb = SwinTransformerV2(
             self.swin_config, use_checkpoint=self.remat,
             scan_blocks=self.scan_blocks, use_pallas=self.use_pallas,
+            use_pallas_mlp=self.use_pallas_mlp,
+            window_resident=self.window_resident,
             name="swin")(image, deterministic=not train, return_features=True)
 
         fusion = MultiDefectAblation(

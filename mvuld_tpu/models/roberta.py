@@ -19,6 +19,9 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
+
+from mvuld_tpu.models.swin_v2 import _DenseParams, _LNParams
 
 
 @dataclasses.dataclass(frozen=True)
@@ -34,6 +37,11 @@ class RobertaConfig:
     layer_norm_eps: float = 1e-5
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32   # compute dtype; params stay fp32
+    # fused Pallas MLP+dropout+residual+LN (ops/fused_dense.py mlp_ln_res):
+    # the [M, 4C] intermediate never touches HBM. TPU only; the interpret
+    # flag runs the same kernel on CPU for tests.
+    use_pallas_mlp: bool = False
+    pallas_interpret: bool = False
 
     @staticmethod
     def from_cfg(cfg) -> "RobertaConfig":
@@ -95,12 +103,40 @@ class TransformerLayer(nn.Module):
         hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype, name="attention_norm")(
             hidden + attn_out)
 
-        mlp = nn.Dense(c.intermediate_size, dtype=c.dtype, name="intermediate")(hidden)
-        mlp = nn.gelu(mlp, approximate=False)
-        mlp = nn.Dense(c.hidden_size, dtype=c.dtype, name="mlp_output")(mlp)
-        mlp = nn.Dropout(c.dropout_rate)(mlp, deterministic=deterministic)
-        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype, name="output_norm")(
-            hidden + mlp)
+        if c.use_pallas_mlp:
+            # fused Pallas path: identical parameter tree (intermediate/
+            # mlp_output/output_norm) so converted HF checkpoints and
+            # existing training checkpoints load unchanged; the dropout
+            # keep-mask is XLA-generated and consumed in-kernel
+            w1, b1 = _DenseParams(c.intermediate_size,
+                                  name="intermediate")(c.hidden_size)
+            w2, b2 = _DenseParams(c.hidden_size,
+                                  name="mlp_output")(c.intermediate_size)
+            gamma, beta = _LNParams(name="output_norm")(c.hidden_size)
+            from mvuld_tpu.ops.fused_dense import mlp_ln_res
+            if deterministic or c.dropout_rate == 0.0:
+                keep = 1.0
+                mask = jnp.zeros(hidden.shape, c.dtype)     # unread
+            else:
+                keep = 1.0 - c.dropout_rate
+                mask = jax.random.bernoulli(
+                    self.make_rng("dropout"), keep,
+                    hidden.shape).astype(c.dtype)           # {0,1} exact
+            hidden = mlp_ln_res(hidden.astype(c.dtype), w1, b1, w2, b2,
+                                gamma, beta, mask, keep,
+                                c.pallas_interpret)
+            # named save point: under nn.remat with a save_only_these_names
+            # policy the fused op's output is kept, so the backward never
+            # re-runs the forward kernel (its custom VJP already recomputes
+            # h/z internally from x)
+            hidden = checkpoint_name(hidden, "bert_mlp_out")
+        else:
+            mlp = nn.Dense(c.intermediate_size, dtype=c.dtype, name="intermediate")(hidden)
+            mlp = nn.gelu(mlp, approximate=False)
+            mlp = nn.Dense(c.hidden_size, dtype=c.dtype, name="mlp_output")(mlp)
+            mlp = nn.Dropout(c.dropout_rate)(mlp, deterministic=deterministic)
+            hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype, name="output_norm")(
+                hidden + mlp)
         return hidden
 
 
@@ -142,7 +178,16 @@ class RobertaEncoder(nn.Module):
 
         # static_argnums counts `self` (flax subtracts 1 internally):
         # __call__(self, hidden, attn_bias, deterministic) → deterministic = 3
-        layer_cls = nn.remat(TransformerLayer, static_argnums=(3,)) if self.remat else TransformerLayer
+        if self.remat:
+            # with the fused MLP, save its output: the custom VJP already
+            # recomputes h/z internally, so re-running the forward kernel
+            # under remat would be a third full MLP pass
+            policy = (jax.checkpoint_policies.save_only_these_names(
+                "bert_mlp_out") if c.use_pallas_mlp else None)
+            layer_cls = nn.remat(TransformerLayer, static_argnums=(3,),
+                                 policy=policy)
+        else:
+            layer_cls = TransformerLayer
         for i in range(c.num_layers):
             hidden = layer_cls(c, name=f"layer_{i}")(hidden, attn_bias, deterministic)
         return hidden

@@ -494,3 +494,207 @@ def _mlp_ln_bwd(interpret, res, dy):
 
 
 mlp_ln.defvjp(_mlp_ln_fwd, _mlp_ln_bwd)
+
+
+# ------------------------------------------------- residual variant (BERT)
+# y = LN(x + dropout(fc2(GELU(fc1(x))) + b2)) — the post-LN transformer
+# MLP half (RobertaLayer: models/roberta.py TransformerLayer, reference
+# unixcoder.py's HF RobertaModel). Kept as SEPARATE kernels from mlp_ln:
+# the swin bench's persistent compile cache keys on the exact HLO of
+# _mlp_fwd_kernel/_mlp_bwd_kernel, so those must stay byte-identical.
+# The dropout mask is a uint8 operand generated by XLA threefry outside
+# the kernel (pltpu.prng_* has no CPU-interpret lowering, and the mask's
+# [M, C] bytes are 1/8th of the [M, 4C] hidden the kernel keeps off HBM).
+
+_BERT_LN_EPS = 1e-5   # HF RobertaConfig.layer_norm_eps
+
+
+def _mlp_res_fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
+                        bt_ref, mask_ref, o_ref, *, keep_prob):
+    h = jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
+    h = _gelu(h + b1_ref[:].astype(jnp.float32))
+    z = jnp.dot(h.astype(x_ref.dtype), w2_ref[:],
+                preferred_element_type=jnp.float32)
+    z = z + b2_ref[:].astype(jnp.float32)
+    if keep_prob < 1.0:
+        z = z * (mask_ref[:].astype(jnp.float32) / keep_prob)
+    z = z + x_ref[:].astype(jnp.float32)          # post-LN residual
+    mu = jnp.mean(z, axis=-1, keepdims=True)
+    zc = z - mu
+    var = jnp.mean(zc * zc, axis=-1, keepdims=True)
+    y = zc * jax.lax.rsqrt(var + _BERT_LN_EPS)
+    y = y * g_ref[:].astype(jnp.float32) + bt_ref[:].astype(jnp.float32)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+def _mlp_res_bwd_kernel(x_ref, dy_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                        g_ref, w1t_ref, w2t_ref, mask_ref,
+                        dx_ref, dw1_ref, dw2_ref, vh_ref, vc_ref,
+                        dw1_acc, dw2_acc, vh_acc, vc_acc, *, keep_prob):
+    """Backward of the residual MLP+LN: recompute h/z for the tile in
+    VMEM (same mask operand → identical dropout), run LN→(residual ⊕
+    dropout∘fc2∘GELU∘fc1) backward, accumulate parameter grads in VMEM
+    scratch, write only dx."""
+    i = pl.program_id(0)
+    x = x_ref[:]
+    dy = dy_ref[:].astype(jnp.float32)
+    h_pre = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
+    h_pre = h_pre + b1_ref[:].astype(jnp.float32)
+    h, gelu_vjp = jax.vjp(_gelu, h_pre)
+    hb = h.astype(x.dtype)
+    z = jnp.dot(hb, w2_ref[:], preferred_element_type=jnp.float32)
+    z = z + b2_ref[:].astype(jnp.float32)
+    if keep_prob < 1.0:
+        scaled_mask = mask_ref[:].astype(jnp.float32) / keep_prob
+        z = z * scaled_mask
+    z = z + x.astype(jnp.float32)
+    mu = jnp.mean(z, axis=-1, keepdims=True)
+    zc = z - mu
+    var = jnp.mean(zc * zc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + _BERT_LN_EPS)
+    zhat = zc * rstd
+
+    g = g_ref[:].astype(jnp.float32)
+    dgamma = jnp.sum(dy * zhat, axis=0, keepdims=True)
+    dbeta = jnp.sum(dy, axis=0, keepdims=True)
+    dyg = dy * g
+    m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyg * zhat, axis=-1, keepdims=True)
+    dz = (dyg - m1 - zhat * m2) * rstd            # d(LN input)
+    dz_mlp = dz * scaled_mask if keep_prob < 1.0 else dz
+    db2 = jnp.sum(dz_mlp, axis=0, keepdims=True)
+
+    dzb = dz_mlp.astype(x.dtype)
+    dh = jnp.dot(dzb, w2t_ref[:], preferred_element_type=jnp.float32)
+    (dh_pre,) = gelu_vjp(dh)
+    db1 = jnp.sum(dh_pre, axis=0, keepdims=True)
+    dhb = dh_pre.astype(x.dtype)
+    dx = jnp.dot(dhb, w1t_ref[:], preferred_element_type=jnp.float32)
+    dx_ref[:] = (dx + dz).astype(dx_ref.dtype)    # + residual branch
+
+    dw2_part = jax.lax.dot_general(hb, dzb, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    dw1_part = jax.lax.dot_general(x, dhb, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _init():
+        dw1_acc[:] = jnp.zeros_like(dw1_acc)
+        dw2_acc[:] = jnp.zeros_like(dw2_acc)
+        vh_acc[:] = jnp.zeros_like(vh_acc)
+        vc_acc[:] = jnp.zeros_like(vc_acc)
+
+    dw1_acc[:] = dw1_acc[:] + dw1_part
+    dw2_acc[:] = dw2_acc[:] + dw2_part
+    vh_acc[:] = vh_acc[:] + db1
+    vc_acc[:] = vc_acc[:] + jnp.concatenate([db2, dgamma, dbeta], axis=0)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _emit():
+        dw1_ref[:] = dw1_acc[:]
+        dw2_ref[:] = dw2_acc[:]
+        vh_ref[:] = vh_acc[:]
+        vc_ref[:] = vc_acc[:]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def mlp_ln_res(x, w1, b1, w2, b2, gamma, beta, mask, keep_prob=1.0,
+               interpret=False):
+    """LayerNorm(x + dropout(MLP(x))) — the post-LN transformer MLP half
+    as ONE fused op (HF Roberta semantics, layer_norm_eps 1e-5): forward
+    and backward each make a single pass over HBM; the [M, 4C] hidden
+    lives only in VMEM. ``mask`` is a {0,1} dropout keep-mask of x's
+    shape and dtype (Mosaic cannot cast integer refs; 0/1 are exact in
+    bf16). Ignored when keep_prob == 1.0 — pass any placeholder."""
+    return _mlp_ln_res_fwd(x, w1, b1, w2, b2, gamma, beta, mask,
+                           keep_prob, interpret)[0]
+
+
+def _mlp_ln_res_fwd(x, w1, b1, w2, b2, gamma, beta, mask, keep_prob,
+                    interpret):
+    C, Hd = w1.shape
+    lead = x.shape[:-1]
+    tm = _mlp_tile(int(np.prod(lead)), C, Hd)
+    x2, M = _pad_rows(x.reshape(-1, C), tm)
+    mask2, _ = _pad_rows(mask.reshape(-1, C), tm)
+    num_m = x2.shape[0] // tm
+    w1b, w2b = w1.astype(x.dtype), w2.astype(x.dtype)
+    row = lambda v: v.reshape(1, -1)          # noqa: E731
+    tile = lambda: pl.BlockSpec((tm, C), lambda m: (m, 0),  # noqa: E731
+                                memory_space=pltpu.VMEM)
+    const = lambda spec: pl.BlockSpec(spec, lambda m: (0,) * len(spec),  # noqa: E731
+                                      memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        functools.partial(_mlp_res_fwd_kernel, keep_prob=float(keep_prob)),
+        grid=(num_m,),
+        in_specs=[tile(), const((C, Hd)), const((1, Hd)), const((Hd, C)),
+                  const((1, C)), const((1, C)), const((1, C)), tile()],
+        out_specs=tile(),
+        out_shape=jax.ShapeDtypeStruct((x2.shape[0], C), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * M * C * Hd,
+            bytes_accessed=3 * M * C * 2 + 2 * C * Hd * 2,
+            transcendentals=M * Hd),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2 ** 20),
+    )(x2, w1b, row(b1), w2b, row(b2), row(gamma), row(beta), mask2)
+    return y[:M].reshape(*lead, C), (x, w1, b1, w2, b2, gamma, mask)
+
+
+def _mlp_ln_res_bwd(keep_prob, interpret, res, dy):
+    x, w1, b1, w2, b2, gamma, mask = res
+    C, Hd = w1.shape
+    lead = x.shape[:-1]
+    tm = _mlp_tile(int(np.prod(lead)), C, Hd)
+    x2, M = _pad_rows(x.reshape(-1, C), tm)
+    dy2, _ = _pad_rows(dy.reshape(-1, C).astype(x.dtype), tm)
+    mask2, _ = _pad_rows(mask.reshape(-1, C), tm)
+    num_m = x2.shape[0] // tm
+    w1b, w2b = w1.astype(x.dtype), w2.astype(x.dtype)
+    row = lambda v: v.reshape(1, -1)          # noqa: E731
+    tile = lambda: pl.BlockSpec((tm, C), lambda m: (m, 0),  # noqa: E731
+                                memory_space=pltpu.VMEM)
+    const = lambda spec: pl.BlockSpec(spec, lambda m: (0,) * len(spec),  # noqa: E731
+                                      memory_space=pltpu.VMEM)
+    dx, dw1, dw2, vh, vc = pl.pallas_call(
+        functools.partial(_mlp_res_bwd_kernel, keep_prob=float(keep_prob)),
+        grid=(num_m,),
+        in_specs=[tile(), tile(),
+                  const((C, Hd)), const((1, Hd)), const((Hd, C)),
+                  const((1, C)), const((1, C)), const((Hd, C)),
+                  const((C, Hd)), tile()],
+        out_specs=[tile(), const((C, Hd)), const((Hd, C)), const((1, Hd)),
+                   const((3, C))],
+        out_shape=[
+            jax.ShapeDtypeStruct((x2.shape[0], C), x.dtype),
+            jax.ShapeDtypeStruct((C, Hd), jnp.float32),
+            jax.ShapeDtypeStruct((Hd, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, Hd), jnp.float32),
+            jax.ShapeDtypeStruct((3, C), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((C, Hd), jnp.float32),
+            pltpu.VMEM((Hd, C), jnp.float32),
+            pltpu.VMEM((1, Hd), jnp.float32),
+            pltpu.VMEM((3, C), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=12 * M * C * Hd,
+            bytes_accessed=4 * M * C * 2 + 4 * C * Hd * 2,
+            transcendentals=2 * M * Hd),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2 ** 20),
+    )(x2, dy2, w1b, row(b1), w2b, row(b2), row(gamma),
+      jnp.swapaxes(w1b, 0, 1), jnp.swapaxes(w2b, 0, 1), mask2)
+    dx = dx[:M].reshape(x.shape)
+    return (dx, dw1.astype(w1.dtype), vh[0].astype(b1.dtype),
+            dw2.astype(w2.dtype), vc[0].astype(b2.dtype),
+            vc[1].astype(gamma.dtype), vc[2].astype(gamma.dtype),
+            jnp.zeros_like(mask))
+
+
+mlp_ln_res.defvjp(_mlp_ln_res_fwd, _mlp_ln_res_bwd)
