@@ -390,11 +390,40 @@ def _e2e_bench(jax, jnp, np, rng):
         float(m["loss"][-1])
         times.append(time.perf_counter() - t0)
     fps = K * B / min(times)
+
+    # serving throughput: forward-only eval of the SAME model/params — the
+    # quantity train.predict's batched serving path runs at (the reference
+    # has no serving stack, SURVEY §3.4; its --test 1 re-runs validate)
+    @jax.jit
+    def infer(vs, b):
+        logits = model.apply(vs, func_ids=b["func_ids"],
+                             node_ids=b["node_ids"], image=b["image"],
+                             pos=b["pos"], adj=b["adj"],
+                             node_mask=b["node_mask"], train=False)
+        return jax.nn.softmax(logits.astype(jnp.float32), -1)[:, 1]
+
+    vs = {"params": state.params}
+    if state.batch_stats is not None:
+        vs["batch_stats"] = state.batch_stats
+    one = {k: v[0] for k, v in sb.items() if k != "label"}
+    p = infer(vs, one)                        # compile + warmup
+    assert np.isfinite(np.asarray(p)).all()
+    itimes = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        for j in range(K):                    # K dispatches of batch B
+            p = infer(vs, {k: v[j] for k, v in sb.items() if k != "label"})
+        float(p[-1])
+        itimes.append(time.perf_counter() - t0)
+    ifps = K * B / min(itimes)
+
     return {"e2e_functions_per_sec": round(fps, 2), "e2e_batch": B,
             "e2e_node_capacity": cap,
             "e2e_timings_s": [round(t, 3) for t in times],
             "e2e_timings_mean_s": round(float(np.mean(times)), 3),
-            "e2e_timings_std_s": round(float(np.std(times)), 3)}
+            "e2e_timings_std_s": round(float(np.std(times)), 3),
+            "e2e_infer_functions_per_sec": round(ifps, 2),
+            "e2e_infer_timings_mean_s": round(float(np.mean(itimes)), 3)}
 
 
 if __name__ == "__main__":

@@ -279,3 +279,32 @@ def get_config(args: Any = None) -> CfgNode:
     cfg.OUTPUT = os.path.join(cfg.OUTPUT, cfg.MODEL.NAME, cfg.TAG)
     cfg.freeze()
     return cfg
+
+
+def save_config(cfg: CfgNode, output_dir: str) -> str:
+    """Dump the fully-resolved config to ``{output_dir}/config.json``.
+
+    The reference dumps its merged config on rank 0 before training
+    (mvuld/main.py:504-508); here the dump also serves the serving path —
+    ``train.predict`` rebuilds the exact model/data dims of a finished run
+    from this file instead of asking the user to repeat every --opts."""
+    import json
+
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, "config.json")
+    with open(path, "w") as f:
+        json.dump(cfg.to_dict(), f, indent=1, default=str)
+    return path
+
+
+def load_saved_config(path: str) -> CfgNode:
+    """Rebuild a frozen config from a run directory (or its config.json)."""
+    import json
+
+    if os.path.isdir(path):
+        path = os.path.join(path, "config.json")
+    cfg = default_config()
+    with open(path) as f:
+        cfg.merge_from_other_cfg(json.load(f))
+    cfg.freeze()
+    return cfg

@@ -241,3 +241,39 @@ def detect_dataset_map(apply_fn, params, img_paths: List[str], out_dir: str,
         if logger:
             logger.info(f"{img_id}: {len(pos)} node boxes")
     return written
+
+
+def load_east_detector(ckpt_path: str):
+    """Resolve + load a trained EAST checkpoint and return ``(apply_fn,
+    params)`` ready for detect_image / detect_dataset_map.
+
+    ``ckpt_path`` may be an orbax checkpoint path or a train_east output
+    root, in which case the newest ``ckpt_epoch_*`` under it is picked
+    (the reference loads a fixed epoch pth, OCR/eval.py:11-49). BatchNorm
+    running stats ride as a closure constant — EAST's stats are a few KB,
+    far below the relay's compile-request limit."""
+    import glob
+
+    import jax
+
+    from mvuld_tpu.core.checkpoint import load_checkpoint
+    from mvuld_tpu.ocr.east import EAST
+
+    path = ckpt_path
+    if os.path.isdir(path) and not os.path.basename(path).startswith(
+            ("ckpt_epoch_", "best_f1_epoch_")):
+        cands = glob.glob(os.path.join(path, "**", "ckpt_epoch_*"),
+                          recursive=True)
+        if not cands:
+            raise FileNotFoundError(f"no ckpt_epoch_* under {path}")
+        path = max(cands, key=lambda p: int(p.rsplit("_", 1)[1]))
+    state = load_checkpoint(path)
+    model = EAST()
+    batch_stats = state["batch_stats"]
+
+    @jax.jit
+    def apply_fn(params, x):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           x, train=False)
+
+    return apply_fn, state["params"]

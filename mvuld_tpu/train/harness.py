@@ -58,6 +58,12 @@ def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
     import numpy as np
 
     logger = logger or create_logger(output_dir)
+    if output_dir:
+        # dump the resolved config next to the checkpoints (reference rank-0
+        # config.json dump, mvuld/main.py:504-508); train.predict rebuilds
+        # the run's exact model dims from it
+        from mvuld_tpu.config import save_config
+        save_config(cfg, output_dir)
     batch_size = cfg.DATA.BATCH_SIZE
     rng = jax.random.PRNGKey(cfg.SEED)
     stopper = EarlyStopper(patience=patience or cfg.TRAIN.EARLY_STOP_PATIENCE)

@@ -36,13 +36,7 @@ def _ocr_positions(east_ckpt: str, df, cache_dir: str, out_dir: str, cfg,
     + line-number recognition over the rendered PNGs (OCR/detect.py
     detect_dataset_map:285-353), writing norm-pos pickles to ``out_dir``.
     Returns recovery stats vs the renderer's oracle boxes."""
-    import glob
-
-    import jax
-
-    from mvuld_tpu.core.checkpoint import load_checkpoint
-    from mvuld_tpu.ocr.detect import detect_dataset_map
-    from mvuld_tpu.ocr.east import EAST
+    from mvuld_tpu.ocr.detect import detect_dataset_map, load_east_detector
     from mvuld_tpu.tools.render import load_norm_pos
     from mvuld_tpu.train.precompute import render_corpus
 
@@ -50,25 +44,9 @@ def _ocr_positions(east_ckpt: str, df, cache_dir: str, out_dir: str, cfg,
     oracle_dir = os.path.join(cache_dir, "pos")
     paths = render_corpus(df, img_dir, oracle_dir, cfg.DATA.GTYPE, logger)
 
-    path = east_ckpt
-    if os.path.isdir(path) and not os.path.basename(path).startswith(
-            ("ckpt_epoch_", "best_f1_epoch_")):
-        cands = glob.glob(os.path.join(path, "**", "ckpt_epoch_*"),
-                          recursive=True)
-        if not cands:
-            raise FileNotFoundError(f"no ckpt_epoch_* under {path}")
-        path = max(cands, key=lambda p: int(p.rsplit("_", 1)[1]))
-    state = load_checkpoint(path)
-    model = EAST()
-    batch_stats = state["batch_stats"]
-
-    @jax.jit
-    def apply_fn(params, x):
-        return model.apply({"params": params, "batch_stats": batch_stats},
-                           x, train=False)
-
+    apply_fn, east_params = load_east_detector(east_ckpt)
     # pad_to=256 buckets the relay compiles to a handful of shapes
-    detect_dataset_map(apply_fn, state["params"],
+    detect_dataset_map(apply_fn, east_params,
                        [paths[_id] for _id in sorted(paths)], out_dir,
                        pad_to=256, logger=None)
 

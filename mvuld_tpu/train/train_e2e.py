@@ -64,6 +64,34 @@ def build_e2e_cache(df, cfg, tok, cache_path: str, img_size: int, logger=None):
     return arrs
 
 
+def build_e2e_model(cfg, vocab_size: int, node_capacity=None, **overrides):
+    """EndToEndMVulD + its Roberta/Swin configs from one resolved config —
+    shared by the trainer and the predict/serving CLI so a finished run's
+    config.json always rebuilds the exact parameter tree."""
+    import jax.numpy as jnp
+
+    from mvuld_tpu.models.e2e import EndToEndMVulD
+    from mvuld_tpu.models.roberta import RobertaConfig
+    from mvuld_tpu.models.swin_v2 import SwinV2Config
+
+    u = cfg.MODEL.UNIXCODER
+    rcfg = RobertaConfig(
+        vocab_size=max(vocab_size, 16), hidden_size=u.HIDDEN,
+        num_layers=u.LAYERS, num_heads=u.HEADS,
+        intermediate_size=u.INTERMEDIATE,
+        max_position_embeddings=u.MAX_POSITIONS,
+        dtype=jnp.bfloat16 if cfg.PARALLEL.DTYPE == "bfloat16" else jnp.float32)
+    scfg = SwinV2Config.from_cfg(cfg)
+    kwargs = dict(hidden=cfg.MODEL.MULTI.HIDDEN,
+                  num_classes=cfg.MODEL.NUM_CLASSES,
+                  num_rs_gcn=cfg.MODEL.MULTI.NUM_RS_GCN,
+                  num_hidden=cfg.MODEL.MULTI.NUM_HIDDEN_FC,
+                  remat=cfg.TRAIN.USE_CHECKPOINT,
+                  node_capacity=node_capacity)
+    kwargs.update(overrides)
+    return EndToEndMVulD(rcfg, scfg, **kwargs), rcfg, scfg
+
+
 def main(argv=None) -> dict:
     from mvuld_tpu.parallel.mesh import enable_compile_cache
     enable_compile_cache()  # persistent XLA cache: relay compiles are 15-40 min cold
@@ -91,10 +119,6 @@ def main(argv=None) -> dict:
     from mvuld_tpu.core.train_state import (TrainState, make_eval_step,
                                             make_train_step)
     from mvuld_tpu.data.loader import ArrayDataset, steps_per_epoch
-    from mvuld_tpu.data.tokenizer import CodeTokenizer
-    from mvuld_tpu.models.e2e import EndToEndMVulD
-    from mvuld_tpu.models.roberta import RobertaConfig
-    from mvuld_tpu.models.swin_v2 import SwinV2Config
     from mvuld_tpu.parallel.mesh import make_mesh, replicate
     from mvuld_tpu.train.harness import fit
 
@@ -109,7 +133,12 @@ def main(argv=None) -> dict:
         import pandas as pd
         df = pd.read_pickle(args.data)
 
-    tok = CodeTokenizer.train(df.func_before.tolist(), vocab_size=4096)
+    # tokenizer persists next to the checkpoints: the predict/serving CLI
+    # must tokenize new functions with the TRAINING vocab, and a rerun in
+    # the same output dir must reuse (not retrain) it
+    from mvuld_tpu.train.train_text import get_or_train_tokenizer
+    tok = get_or_train_tokenizer(
+        df, os.path.join(cfg.OUTPUT, "tokenizer.json"), vocab_size=4096)
     cache = build_e2e_cache(df, cfg, tok,
                             os.path.join(cfg.OUTPUT, "cache", "e2e.npz"),
                             cfg.DATA.IMG_SIZE, logger)
@@ -124,13 +153,6 @@ def main(argv=None) -> dict:
                       "node_mask", "label")})
     logger.info(f"dataset sizes: { {k: len(v) for k, v in datasets.items()} }")
 
-    u = cfg.MODEL.UNIXCODER
-    rcfg = RobertaConfig(
-        vocab_size=max(tok.vocab_size, 16), hidden_size=u.HIDDEN,
-        num_layers=u.LAYERS, num_heads=u.HEADS, intermediate_size=u.INTERMEDIATE,
-        max_position_embeddings=u.MAX_POSITIONS,
-        dtype=jnp.bfloat16 if cfg.PARALLEL.DTYPE == "bfloat16" else jnp.float32)
-    scfg = SwinV2Config.from_cfg(cfg)
     B = cfg.DATA.BATCH_SIZE
     max_nodes = datasets["train"].columns["node_mask"].shape[1]
     if args.node_capacity < 0:
@@ -145,12 +167,8 @@ def main(argv=None) -> dict:
         node_capacity = min(args.node_capacity, B * max_nodes) or None
     logger.info(f"node-line packing capacity: {node_capacity} "
                 f"(of {B * max_nodes} slots)")
-    model = EndToEndMVulD(rcfg, scfg, hidden=cfg.MODEL.MULTI.HIDDEN,
-                          num_classes=cfg.MODEL.NUM_CLASSES,
-                          num_rs_gcn=cfg.MODEL.MULTI.NUM_RS_GCN,
-                          num_hidden=cfg.MODEL.MULTI.NUM_HIDDEN_FC,
-                          remat=cfg.TRAIN.USE_CHECKPOINT,
-                          node_capacity=node_capacity)
+    model, rcfg, scfg = build_e2e_model(cfg, tok.vocab_size,
+                                        node_capacity=node_capacity)
 
     ex = datasets["train"].get(0)
     init_args = {k: jnp.asarray(v)[None] for k, v in ex.items() if k != "label"}
