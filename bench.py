@@ -82,8 +82,9 @@ E2E_BATCH = int(os.environ.get("MVULD_BENCH_E2E_BATCH", 16))
 E2E_STEPS = int(os.environ.get("MVULD_BENCH_E2E_STEPS", 4))
 # fused Pallas MLP+dropout+residual+LN in the RoBERTa layers
 # (ops/fused_dense.py mlp_ln_res) + the swin-side fused MLP and
-# window-resident pairs inside the e2e model
-E2E_FUSED = os.environ.get("MVULD_BENCH_E2E_FUSED", "0") == "1"
+# window-resident pairs inside the e2e model. Default ON since the r4s2
+# measurement: 20.89 vs 19.96 train fn/s, 95.26 vs 84.95 infer fn/s.
+E2E_FUSED = os.environ.get("MVULD_BENCH_E2E_FUSED", "1") == "1"
 # packed per-line encoding (models/e2e.py node_capacity): the corpus mean
 # is ~22 valid lines of 100 slots; capacity 512 = 1.25x the mean valid
 # count per bs-16 batch, /128-aligned (same auto-sizing as train_e2e.py)

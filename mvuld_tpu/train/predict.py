@@ -223,8 +223,16 @@ def main(argv=None) -> List[Dict]:
     cap = args.node_capacity or None
     if cap:
         cap = min(cap, B * cfg.DATA.MAX_NODES)
-    model, _rcfg, _scfg = build_e2e_model(cfg, tok.vocab_size,
-                                          node_capacity=cap)
+    # TPU serving rides the same fast path the trainer uses (Pallas
+    # attention; fused MLP / window-resident follow the run's TRAIN knobs);
+    # CPU (tests, laptops) uses the plain XLA path
+    on_tpu = jax.default_backend() not in ("cpu",)
+    fused = on_tpu and cfg.TRAIN.FUSED_MLP
+    model, _rcfg, _scfg = build_e2e_model(
+        cfg, tok.vocab_size, node_capacity=cap,
+        use_pallas=on_tpu, scan_blocks=True, roberta_pallas_mlp=fused,
+        use_pallas_mlp=fused,
+        window_resident=on_tpu and cfg.TRAIN.WINDOW_RESIDENT)
 
     @jax.jit
     def fwd(vs, b):

@@ -80,6 +80,7 @@ def build_e2e_model(cfg, vocab_size: int, node_capacity=None, **overrides):
         num_layers=u.LAYERS, num_heads=u.HEADS,
         intermediate_size=u.INTERMEDIATE,
         max_position_embeddings=u.MAX_POSITIONS,
+        use_pallas_mlp=overrides.pop("roberta_pallas_mlp", False),
         dtype=jnp.bfloat16 if cfg.PARALLEL.DTYPE == "bfloat16" else jnp.float32)
     scfg = SwinV2Config.from_cfg(cfg)
     kwargs = dict(hidden=cfg.MODEL.MULTI.HIDDEN,
@@ -167,8 +168,18 @@ def main(argv=None) -> dict:
         node_capacity = min(args.node_capacity, B * max_nodes) or None
     logger.info(f"node-line packing capacity: {node_capacity} "
                 f"(of {B * max_nodes} slots)")
-    model, rcfg, scfg = build_e2e_model(cfg, tok.vocab_size,
-                                        node_capacity=node_capacity)
+    # same TPU fast-path gating as train_swin: Pallas attention always on
+    # TPU, fused MLP + window-resident pairs behind the TRAIN knobs (the
+    # E2E_FUSED bench config measured +4.7% train / +12% infer fn/s)
+    on_tpu = jax.default_backend() not in ("cpu",)
+    model, rcfg, scfg = build_e2e_model(
+        cfg, tok.vocab_size, node_capacity=node_capacity,
+        use_pallas=on_tpu, scan_blocks=True,
+        roberta_pallas_mlp=on_tpu and cfg.TRAIN.FUSED_MLP,
+        use_pallas_mlp=on_tpu and cfg.TRAIN.FUSED_MLP,
+        window_resident=on_tpu and cfg.TRAIN.WINDOW_RESIDENT)
+    compiler_opts = ({"xla_tpu_scoped_vmem_limit_kib": "65536"}
+                     if (on_tpu and cfg.TRAIN.FUSED_MLP) else None)
 
     ex = datasets["train"].get(0)
     init_args = {k: jnp.asarray(v)[None] for k, v in ex.items() if k != "label"}
@@ -194,7 +205,8 @@ def main(argv=None) -> dict:
                               batch_stats=variables.get("batch_stats"))
     train_step = make_train_step(apply_fn, tx,
                                  label_smoothing=cfg.MODEL.LABEL_SMOOTHING,
-                                 has_batch_stats=has_bn, donate=False)
+                                 has_batch_stats=has_bn, donate=False,
+                                 compiler_options=compiler_opts)
     eval_step = make_eval_step(apply_fn, has_batch_stats=has_bn)
 
     with mesh:
