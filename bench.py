@@ -89,6 +89,17 @@ E2E_FUSED = os.environ.get("MVULD_BENCH_E2E_FUSED", "1") == "1"
 # is ~22 valid lines of 100 slots; capacity 512 = 1.25x the mean valid
 # count per bs-16 batch, /128-aligned (same auto-sizing as train_e2e.py)
 E2E_NODE_CAPACITY = int(os.environ.get("MVULD_BENCH_E2E_CAPACITY", 512))
+# remat granularity for the e2e step (models/e2e.py): swin stages to remat
+# ("all" = every stage — at bs16 the swin activations are a quarter of the
+# dedicated bench's bs64, so stage-selective remat is a pure-win candidate)
+# and whether the RoBERTa layers remat at all (text activations at bs16 +
+# packed capacity 512 are small; "0" skips the bwd re-forward of the text
+# encoder entirely)
+_ers = os.environ.get("MVULD_BENCH_E2E_REMAT_STAGES", "all")
+E2E_REMAT_STAGES = (None if _ers == "all"
+                    else tuple(int(s) for s in _ers.split(",") if s != "")
+                    or None)
+E2E_TEXT_REMAT = os.environ.get("MVULD_BENCH_E2E_TEXT_REMAT", "1") == "1"
 # Elapsed-time budget: if the swin bench (incl. any cold compile) already ate
 # this many seconds, skip the fusion bench so the run still emits results
 # before a driver-side timeout can kill it.
@@ -336,7 +347,9 @@ def _e2e_bench(jax, jnp, np, rng):
     model = EndToEndMVulD(tc, sc, use_pallas=True, scan_blocks=True,
                           remat=True, node_capacity=cap,
                           use_pallas_mlp=E2E_FUSED,
-                          window_resident=E2E_FUSED)
+                          window_resident=E2E_FUSED,
+                          swin_remat_stages=E2E_REMAT_STAGES,
+                          text_remat=E2E_TEXT_REMAT)
 
     data = np.random.RandomState(2)
     # realistic node-count distribution (reference corpora average ~20-25
@@ -420,6 +433,9 @@ def _e2e_bench(jax, jnp, np, rng):
 
     return {"e2e_functions_per_sec": round(fps, 2), "e2e_batch": B,
             "e2e_node_capacity": cap,
+            "e2e_remat_stages": (list(E2E_REMAT_STAGES)
+                                 if E2E_REMAT_STAGES else "all"),
+            "e2e_text_remat": E2E_TEXT_REMAT,
             "e2e_timings_s": [round(t, 3) for t in times],
             "e2e_timings_mean_s": round(float(np.mean(times)), 3),
             "e2e_timings_std_s": round(float(np.std(times)), 3),

@@ -166,6 +166,11 @@ def default_config() -> CfgNode:
     #                                low-util recompute (16-26% MXU, r4 profile)
     #                                trades HBM for step time: [2] measured
     #                                74.44 vs 73.60 img/s on the 448 bench
+    _C.TRAIN.TEXT_REMAT = "auto"   # e2e only — remat the RoBERTa layers:
+    #                                "auto" = follow USE_CHECKPOINT, "on",
+    #                                "off" (text activations at e2e batch
+    #                                sizes are small; skipping the bwd
+    #                                re-forward is step-time win if HBM fits)
     _C.TRAIN.FUSED_MLP = False     # Pallas fused MLP+LN block half (TPU only;
     #                                ops/fused_dense.py mlp_ln, stages C<=512)
     _C.TRAIN.WINDOW_RESIDENT = False   # keep activations in window layout

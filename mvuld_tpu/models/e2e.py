@@ -45,6 +45,14 @@ class EndToEndMVulD(nn.Module):
     use_pallas: bool = False
     scan_blocks: bool = False
     remat: bool = False
+    # remat granularity (the dedicated swin bench measured stage-2-only remat
+    # faster than all-stage at bs64 — the early stages' recompute runs at
+    # 16-26% MXU util): None = remat every swin stage when ``remat``;
+    # ``text_remat`` None = follow ``remat`` for the RoBERTa layers — at e2e
+    # batch sizes the text activations often fit, and skipping the bwd
+    # re-forward of the attention half is pure step-time win
+    swin_remat_stages: tuple[int, ...] | None = None
+    text_remat: bool | None = None
     node_capacity: int | None = None
     # fused Pallas MLP+LN for the swin stages (ops/fused_dense.py mlp_ln;
     # the RoBERTa side's fused MLP rides text_config.use_pallas_mlp) and
@@ -57,7 +65,8 @@ class EndToEndMVulD(nn.Module):
     def __call__(self, func_ids, node_ids, image, pos, adj, node_mask,
                  train: bool = False):
         tc = self.text_config
-        encoder = RobertaEncoder(tc, remat=self.remat, name="text_encoder")
+        tremat = self.remat if self.text_remat is None else self.text_remat
+        encoder = RobertaEncoder(tc, remat=tremat, name="text_encoder")
 
         # whole-function sentence embedding
         fmask = (func_ids != tc.pad_token_id).astype(jnp.int32)
@@ -93,6 +102,7 @@ class EndToEndMVulD(nn.Module):
             scan_blocks=self.scan_blocks, use_pallas=self.use_pallas,
             use_pallas_mlp=self.use_pallas_mlp,
             window_resident=self.window_resident,
+            remat_stages=self.swin_remat_stages,
             name="swin")(image, deterministic=not train, return_features=True)
 
         fusion = MultiDefectAblation(

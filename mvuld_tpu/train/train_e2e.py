@@ -88,6 +88,9 @@ def build_e2e_model(cfg, vocab_size: int, node_capacity=None, **overrides):
                   num_rs_gcn=cfg.MODEL.MULTI.NUM_RS_GCN,
                   num_hidden=cfg.MODEL.MULTI.NUM_HIDDEN_FC,
                   remat=cfg.TRAIN.USE_CHECKPOINT,
+                  swin_remat_stages=tuple(cfg.TRAIN.REMAT_STAGES) or None,
+                  text_remat={"auto": None, "on": True,
+                              "off": False}[cfg.TRAIN.TEXT_REMAT],
                   node_capacity=node_capacity)
     kwargs.update(overrides)
     return EndToEndMVulD(rcfg, scfg, **kwargs), rcfg, scfg

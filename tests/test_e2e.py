@@ -133,6 +133,36 @@ def test_e2e_node_packing_parity():
     assert np.isfinite(gsum) and gsum > 0
 
 
+def test_e2e_remat_granularity_parity():
+    """swin_remat_stages / text_remat change WHERE activations are saved,
+    never the math: outputs must match the all-remat model bit-for-policy,
+    and gradients must still trace (the knobs ride jax.checkpoint)."""
+    b = _batch()
+    args = {k: jnp.asarray(v) for k, v in b.items() if k != "label"}
+    ref = EndToEndMVulD(TEXT, SWIN, hidden=64, num_rs_gcn=1, num_hidden=1,
+                        remat=True)
+    variables = ref.init(jax.random.PRNGKey(0), **args, train=False)
+    want = ref.apply(variables, **args, train=False)
+
+    sel = EndToEndMVulD(TEXT, SWIN, hidden=64, num_rs_gcn=1, num_hidden=1,
+                        remat=True, swin_remat_stages=(1,), text_remat=False)
+    got = sel.apply(variables, **args, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss_fn(params):
+        out, _ = sel.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            **args, train=True, rngs={"dropout": jax.random.PRNGKey(1)},
+            mutable=["batch_stats"])
+        return (out ** 2).sum()
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    gsum = sum(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda g: float(jnp.abs(g).sum()), grads["text_encoder"])))
+    assert np.isfinite(gsum) and gsum > 0
+
+
 def test_e2e_training_reduces_loss():
     model = EndToEndMVulD(TEXT, SWIN, hidden=64, num_rs_gcn=1, num_hidden=1)
     b = _batch(B=8)
