@@ -89,17 +89,18 @@ E2E_FUSED = os.environ.get("MVULD_BENCH_E2E_FUSED", "1") == "1"
 # is ~22 valid lines of 100 slots; capacity 512 = 1.25x the mean valid
 # count per bs-16 batch, /128-aligned (same auto-sizing as train_e2e.py)
 E2E_NODE_CAPACITY = int(os.environ.get("MVULD_BENCH_E2E_CAPACITY", 512))
-# remat granularity for the e2e step (models/e2e.py): swin stages to remat
-# ("all" = every stage — at bs16 the swin activations are a quarter of the
-# dedicated bench's bs64, so stage-selective remat is a pure-win candidate)
-# and whether the RoBERTa layers remat at all (text activations at bs16 +
-# packed capacity 512 are small; "0" skips the bwd re-forward of the text
-# encoder entirely)
-_ers = os.environ.get("MVULD_BENCH_E2E_REMAT_STAGES", "all")
+# remat granularity for the e2e step (models/e2e.py). Measured bs16-448
+# (runs/r4s3/e2e_*.log): all-stage swin remat + text remat 20.89 fn/s;
+# stage-2-only swin remat 21.07; stage-2 + NO text remat 22.11 (the bs16
+# swin activations are a quarter of the dedicated bench's bs64 and the
+# packed-capacity-512 text activations are small, so skipping the low-util
+# recompute of stages 0/1/3 and the text encoder's bwd re-forward fits in
+# HBM and is pure step-time win) — hence the "2"/"0" defaults.
+_ers = os.environ.get("MVULD_BENCH_E2E_REMAT_STAGES", "2")
 E2E_REMAT_STAGES = (None if _ers == "all"
                     else tuple(int(s) for s in _ers.split(",") if s != "")
                     or None)
-E2E_TEXT_REMAT = os.environ.get("MVULD_BENCH_E2E_TEXT_REMAT", "1") == "1"
+E2E_TEXT_REMAT = os.environ.get("MVULD_BENCH_E2E_TEXT_REMAT", "0") == "1"
 # Elapsed-time budget: if the swin bench (incl. any cold compile) already ate
 # this many seconds, skip the fusion bench so the run still emits results
 # before a driver-side timeout can kill it.

@@ -6,7 +6,8 @@ three sharded optimizer steps, orbax save of the sharded TrainState, restore
 into a fresh mesh, one resumed step with bit-level loss continuity, and a
 sharded eval/metric gather (reference resume semantics: mvuld/utils.py:143-211,
 validate loop mvuld/main.py:358-426) — plus the expert-parallel Swin-MoE step
-(experts over "mp") and the end-to-end tri-modal step (batch over "dp",
+(experts over "mp"), the pipelined text-encoder fwd+bwd (parallel/pipeline.py
+gpipe over "mp"), and the end-to-end tri-modal step (batch over "dp",
 gradients asserted to move all three encoder towers).
 """
 
@@ -27,4 +28,5 @@ def test_dryrun_lifecycle(capsys):
     assert "resume-verified" in out
     assert "step=4" in out
     assert "moe-ep loss=" in out and "moe-ep loss=nan" not in out
+    assert "pp loss=" in out and "pp loss=nan" not in out
     assert "e2e loss=" in out and "e2e loss=nan" not in out
