@@ -60,17 +60,23 @@ def stack_layer_params(params: dict, num_layers: int,
 
 def gpipe(layer_fn: Callable, stacked_params: Any, x: jnp.ndarray,
           extras: Any, mesh, axis: str, num_microbatches: int,
-          remat: bool = False) -> jnp.ndarray:
+          remat: bool = False, rng: Optional[jnp.ndarray] = None
+          ) -> jnp.ndarray:
     """Run ``x`` through L stacked layers pipelined over ``mesh.shape[axis]``
     stages.
 
-    ``layer_fn(layer_params, h, extras) -> h`` applies ONE layer (unstacked
-    params). ``stacked_params`` leaves are [L, ...] with L divisible by the
-    stage count; each stage holds L/S consecutive layers and scans them.
-    ``extras`` is a pytree of per-example side inputs ([B, ...], e.g. the
-    additive attention bias) delivered to every stage with the matching
-    microbatch. ``remat=True`` recomputes each stage's layer scan in the
-    backward instead of storing per-tick activations.
+    ``layer_fn(layer_params, h, extras, key) -> h`` applies ONE layer
+    (unstacked params). ``stacked_params`` leaves are [L, ...] with L
+    divisible by the stage count; each stage holds L/S consecutive layers
+    and scans them. ``extras`` is a pytree of per-example side inputs
+    ([B, ...], e.g. the additive attention bias) delivered to every stage
+    with the matching microbatch. ``remat=True`` recomputes each stage's
+    layer scan in the backward instead of storing per-tick activations.
+    ``rng`` (a PRNGKey) enables stochastic layers: each layer invocation
+    receives ``fold_in(fold_in(rng, microbatch), global_layer_index)`` —
+    independent per (microbatch, layer), deterministic given the key, and
+    independent of how the stack is partitioned into stages. Without it,
+    ``key`` is None (deterministic layers).
     """
     S = mesh.shape[axis]
     L = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
@@ -82,17 +88,29 @@ def gpipe(layer_fn: Callable, stacked_params: Any, x: jnp.ndarray,
         raise ValueError(f"pipeline: batch {B} must be a multiple of the "
                          f"microbatch count {M}")
     mb = B // M
+    Lp = L // S
     x_mb = x.reshape((M, mb) + x.shape[1:])
     extras_mb = jax.tree_util.tree_map(
         lambda a: a.reshape((M, mb) + a.shape[1:]), extras)
+    # the rng travels as an explicit shard_map operand (replicated) — a
+    # zero dummy when unused so the staged function has a fixed signature
+    rng_arr = (jnp.zeros((2,), jnp.uint32) if rng is None
+               else jnp.asarray(rng, jnp.uint32))
 
-    def stage(local_stack, x_mb, extras_mb):
+    def stage(local_stack, x_mb, extras_mb, rng_arr):
         sid = jax.lax.axis_index(axis)
+        layer_ids = sid * Lp + jnp.arange(Lp)     # global layer indices
 
-        def apply_stack(h, extra):
-            def body(hh, lp):
-                return layer_fn(lp, hh, extra), None
-            h, _ = jax.lax.scan(body, h, local_stack)
+        def apply_stack(h, extra, mb_idx):
+            mb_key = (None if rng is None
+                      else jax.random.fold_in(rng_arr, mb_idx))
+
+            def body(hh, xs):
+                lp, lid = xs
+                key = (None if rng is None
+                       else jax.random.fold_in(mb_key, lid))
+                return layer_fn(lp, hh, extra, key), None
+            h, _ = jax.lax.scan(body, h, (local_stack, layer_ids))
             return h
 
         fn = jax.checkpoint(apply_stack) if remat else apply_stack
@@ -105,7 +123,7 @@ def gpipe(layer_fn: Callable, stacked_params: Any, x: jnp.ndarray,
                                                        keepdims=False),
                 extras_mb)
             h_in = jnp.where(sid == 0, x0, act)
-            h_out = fn(h_in, extra)
+            h_out = fn(h_in, extra, idx)
             # hand the activation to the next stage; the S-1 -> 0 wrap
             # carries drain-phase garbage that stage 0 never reads (it
             # always takes the x0 branch)
@@ -125,20 +143,26 @@ def gpipe(layer_fn: Callable, stacked_params: Any, x: jnp.ndarray,
         jax.tree_util.tree_map(lambda _: P(axis), stacked_params),
         P(),
         jax.tree_util.tree_map(lambda _: P(), extras_mb),
+        P(),
     )
-    return _smap(stage, mesh, in_specs, P())(stacked_params, x_mb, extras_mb)
+    return _smap(stage, mesh, in_specs, P())(stacked_params, x_mb,
+                                             extras_mb, rng_arr)
 
 
 def roberta_pipeline_forward(config, params: dict, input_ids: jnp.ndarray,
                              attention_mask: Optional[jnp.ndarray],
                              mesh, axis: str, num_microbatches: int = 4,
-                             remat: bool = False) -> jnp.ndarray:
+                             remat: bool = False,
+                             dropout_rng: Optional[jnp.ndarray] = None
+                             ) -> jnp.ndarray:
     """Pipelined RobertaEncoder forward: embeddings replicated (tiny next to
     the stack), the ``num_layers`` TransformerLayers pipelined over ``axis``.
     Numerically identical to ``RobertaEncoder.apply`` in deterministic mode —
-    the per-layer math IS ``TransformerLayer.apply`` on the same param tree
-    (dropout rng plumbing across stages is not wired; train with
-    ``dropout_rate=0`` or use the dp/tp paths for dropout-regularized runs).
+    the per-layer math IS ``TransformerLayer.apply`` on the same param tree.
+    ``dropout_rng`` enables train-mode dropout inside the layers (independent
+    masks per microbatch×layer via gpipe's fold_in schedule; the embedding
+    dropout, like the sequential encoder's, would sit before the pipeline —
+    apply it to ``input_ids``' embeddings upstream if needed).
     """
     import flax.linen as nn
 
@@ -168,12 +192,15 @@ def roberta_pipeline_forward(config, params: dict, input_ids: jnp.ndarray,
 
     layer = TransformerLayer(c)
 
-    def layer_fn(lp, h, bias):
-        return layer.apply({"params": lp}, h, bias, True)
+    def layer_fn(lp, h, bias, key):
+        if key is None:
+            return layer.apply({"params": lp}, h, bias, True)
+        return layer.apply({"params": lp}, h, bias, False,
+                           rngs={"dropout": key})
 
     stacked = stack_layer_params(params, c.num_layers)
     return gpipe(layer_fn, stacked, hidden, attn_bias, mesh, axis,
-                 num_microbatches, remat=remat)
+                 num_microbatches, remat=remat, rng=dropout_rng)
 
 
 def make_pp_mesh(n_stages: int, devices=None):

@@ -76,7 +76,7 @@ def test_gpipe_generic_stack():
     W = jnp.asarray(rng.randn(L, D, D).astype(np.float32) * 0.3)
     x = jnp.asarray(rng.randn(B, D).astype(np.float32))
 
-    def layer_fn(w, h, _):
+    def layer_fn(w, h, _, key):
         return jnp.tanh(h @ w)
 
     want = x
@@ -95,10 +95,50 @@ def test_pipeline_validation_errors():
     W = jnp.zeros((6, 4, 4))        # 6 layers over 4 stages: invalid
     x = jnp.zeros((8, 4))
     with pytest.raises(ValueError, match="layers must divide"):
-        gpipe(lambda w, h, _: h, W, x, None, mesh, "pp", 4)
+        gpipe(lambda w, h, _, k: h, W, x, None, mesh, "pp", 4)
     W = jnp.zeros((4, 4, 4))
     with pytest.raises(ValueError, match="multiple of the"):
-        gpipe(lambda w, h, _: h, W, x, None, mesh, "pp", 3)
+        gpipe(lambda w, h, _, k: h, W, x, None, mesh, "pp", 3)
+
+
+def test_pipeline_dropout_training():
+    """Train-mode pp: dropout keys are folded from (rng, microbatch, GLOBAL
+    layer index), so masks are (1) deterministic given the key, (2) different
+    from the deterministic forward, (3) IDENTICAL across different stage
+    partitions of the same stack, and (4) differentiable."""
+    cfg = RobertaConfig(vocab_size=97, hidden_size=32, num_layers=4,
+                        num_heads=2, intermediate_size=64,
+                        max_position_embeddings=64, dropout_rate=0.3)
+    rng = np.random.RandomState(3)
+    ids = jnp.asarray(rng.randint(2, 97, (4, 12)).astype(np.int32))
+    params = RobertaEncoder(cfg).init(jax.random.PRNGKey(0), ids)["params"]
+    key = jax.random.PRNGKey(7)
+
+    mesh4 = make_pp_mesh(4)
+    out_a = roberta_pipeline_forward(cfg, params, ids, None, mesh4, "pp", 2,
+                                     dropout_rng=key)
+    out_b = roberta_pipeline_forward(cfg, params, ids, None, mesh4, "pp", 2,
+                                     dropout_rng=key)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+    det = roberta_pipeline_forward(cfg, params, ids, None, mesh4, "pp", 2)
+    assert not np.allclose(np.asarray(out_a), np.asarray(det))
+
+    mesh2 = make_pp_mesh(2)   # same stack split 2 ways: same masks
+    out_c = roberta_pipeline_forward(cfg, params, ids, None, mesh2, "pp", 2,
+                                     dropout_rng=key)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_a),
+                               atol=1e-6, rtol=1e-6)
+
+    def loss_fn(p):
+        out = roberta_pipeline_forward(cfg, p, ids, None, mesh4, "pp", 2,
+                                       remat=True, dropout_rng=key)
+        return (out.astype(jnp.float32) ** 2).mean()
+
+    grads = jax.jit(jax.grad(loss_fn))(params)
+    gsum = sum(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda g: float(jnp.abs(g).sum()), grads)))
+    assert np.isfinite(gsum) and gsum > 0
 
 
 def test_stack_layer_params_roundtrip():
