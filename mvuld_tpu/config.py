@@ -233,6 +233,14 @@ def default_config() -> CfgNode:
     _C.PARALLEL.MP = 1
     _C.PARALLEL.DTYPE = "bfloat16"         # compute dtype on the MXU
     _C.PARALLEL.PARAM_DTYPE = "float32"    # master params
+    _C.PARALLEL.PP = 1                     # pipeline stages for the text
+    #                                        encoder (parallel/pipeline.py
+    #                                        gpipe; 1 = off). PP>1 replaces
+    #                                        the dp mesh in train_text — the
+    #                                        layer stack is partitioned over
+    #                                        a "pp" mesh axis instead
+    _C.PARALLEL.PP_MICROBATCHES = 4        # microbatches streamed through
+    #                                        the pipeline per step
 
     # ----------------------------------------------------------------- misc
     _C.AMP_ENABLE = True                   # accepted for YAML compat → bf16 policy

@@ -186,6 +186,14 @@ def roberta_pipeline_forward(config, params: dict, input_ids: jnp.ndarray,
     hidden = word + pos + ttype
     hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype).apply(
         {"params": params["embeddings_norm"]}, hidden)
+    if dropout_rng is not None and c.dropout_rate > 0:
+        # the sequential encoder's embedding dropout; keyed off the layer
+        # index space's far end so it never collides with a microbatch key
+        emb_key = jax.random.fold_in(jnp.asarray(dropout_rng, jnp.uint32),
+                                     1 << 20)
+        keep = 1.0 - c.dropout_rate
+        hidden = hidden * jax.random.bernoulli(
+            emb_key, keep, hidden.shape).astype(hidden.dtype) / keep
 
     attn_bias = jnp.where(attention_mask[:, None, None, :] > 0,
                           0.0, -1e9).astype(jnp.float32)

@@ -125,24 +125,60 @@ def main(argv=None) -> dict:
         params["encoder"] = roberta_torch_to_flax(sd, rcfg.num_layers, prefix)
         logger.info(f"loaded pretrained encoder from {args.pretrained}")
 
-    mesh = make_mesh(cfg.PARALLEL.DP, cfg.PARALLEL.MP)
     spe = max(steps_per_epoch(len(datasets["train"]), cfg.DATA.BATCH_SIZE), 1)
     schedule = build_schedule(cfg, spe, cfg.DATA.BATCH_SIZE)
     tx = build_optimizer(cfg, schedule)
     state = TrainState.create(params, tx)
 
-    def apply_fn(vs, batch, rngs, train, mutable=None):
-        logits, _sent = model.apply(vs, batch["input_ids"],
-                                    deterministic=not train, rngs=rngs)
-        return logits
+    if cfg.PARALLEL.PP > 1:
+        # pipeline parallelism: the encoder stack partitioned over a "pp"
+        # mesh axis, microbatches streamed via ppermute in one lax.scan
+        # (parallel/pipeline.py; no reference analog — it is single-GPU).
+        # The pipeline owns the devices, so the dp mesh is off; the param
+        # tree is IDENTICAL to the sequential model's (same init, same
+        # checkpoints, same --save-embeddings path).
+        import flax.linen as nn
+
+        from mvuld_tpu.models.roberta import masked_mean
+        from mvuld_tpu.parallel.pipeline import (make_pp_mesh,
+                                                 roberta_pipeline_forward)
+
+        pp_mesh = make_pp_mesh(cfg.PARALLEL.PP)
+        head = nn.Dense(cfg.MODEL.NUM_CLASSES, dtype=rcfg.dtype)
+        logger.info(f"pipeline parallel: {cfg.PARALLEL.PP} stages × "
+                    f"{cfg.PARALLEL.PP_MICROBATCHES} microbatches")
+
+        def apply_fn(vs, batch, rngs, train, mutable=None):
+            p = vs["params"]
+            ids = batch["input_ids"]
+            m = (ids != rcfg.pad_token_id).astype(jnp.int32)
+            tokens = roberta_pipeline_forward(
+                rcfg, p["encoder"], ids, m, pp_mesh, "pp",
+                num_microbatches=cfg.PARALLEL.PP_MICROBATCHES,
+                remat=cfg.TRAIN.USE_CHECKPOINT,
+                dropout_rng=(rngs or {}).get("dropout") if train else None)
+            sent = masked_mean(tokens, m)
+            logits = head.apply({"params": p["classifier"]}, sent)
+            return logits.astype(jnp.float32)
+
+        mesh = None
+    else:
+        mesh = make_mesh(cfg.PARALLEL.DP, cfg.PARALLEL.MP)
+
+        def apply_fn(vs, batch, rngs, train, mutable=None):
+            logits, _sent = model.apply(vs, batch["input_ids"],
+                                        deterministic=not train, rngs=rngs)
+            return logits
 
     train_step = make_train_step(apply_fn, tx,
                                  label_smoothing=cfg.MODEL.LABEL_SMOOTHING,
                                  donate=False)
     eval_step = make_eval_step(apply_fn)
 
-    with mesh:
-        state = replicate(mesh, state)
+    import contextlib
+    with (mesh if mesh is not None else contextlib.nullcontext()):
+        if mesh is not None:
+            state = replicate(mesh, state)
         if args.test:
             metrics = run_eval(eval_step, state, datasets["test"],
                                cfg.DATA.BATCH_SIZE, mesh)
