@@ -153,32 +153,40 @@ def _bias_onehots(window_size: int) -> Tuple[np.ndarray, np.ndarray]:
     MXU matmuls instead of a 614k-row gather (TPU gathers are scalar-slow;
     this was ~75% of SwinV2-448 forward time). The bias is block-Toeplitz:
     bias[(y1,x1),(y2,x2)] = B[y1-y2+W-1, x1-x2+W-1], so with
-    onehot[pair, d] = δ(Δ(pair)=d) over the W² ordered index pairs,
-    bias = einsum over the y-offset then the x-offset axes."""
+    onehot[y1, y2, d] = δ(y1-y2+W-1=d), bias = einsum over the y-offset
+    then the x-offset axes."""
     ws = window_size
     pairs = np.arange(ws)
     delta = pairs[:, None] - pairs[None, :] + ws - 1          # [W, W]
-    onehot = np.zeros((ws * ws, 2 * ws - 1), np.float32)
-    onehot[np.arange(ws * ws), delta.reshape(-1)] = 1.0       # [W², 2W-1]
+    onehot = np.zeros((ws, ws, 2 * ws - 1), np.float32)
+    onehot[pairs[:, None], pairs[None, :], delta] = 1.0       # [W, W, 2W-1]
     return onehot, onehot
 
 
 def relative_bias_from_table(cpb: jnp.ndarray, window_size: int) -> jnp.ndarray:
-    """[(2W-1)², H] CPB outputs → [H, W², W²] bias, gather-free."""
+    """[(2W-1)², H] CPB outputs → [H, W², W²] bias, gather-free.
+
+    Output-layout note (r4 profile, runs/r4s3/prof): the expansion's
+    consumer wants the head axis OUTERMOST, and rows/cols interleave the
+    y/x pair axes as (y1,x1)/(y2,x2). A dot can only emit
+    lhs-free-then-rhs-free dim order, so ``habcd`` (h,y1,y2,x1,x2) is the
+    closest native output; ONE transpose then swaps the middle axes and the
+    final reshape is a bitcast. The previous (y-pairs × x-pairs) version
+    needed two full-tensor copies plus fp32 reshapes — ~40 ms/step of
+    HBM-bound data formatting at bs64-448 on the 18-block stage."""
     ws = window_size
     T = 2 * ws - 1
     H = cpb.shape[-1]
     B2 = cpb.reshape(T, T, H)
     oy, ox = _bias_onehots(ws)
-    oy = jnp.asarray(oy)          # [W², T] over (y1,y2) pairs
-    ox = jnp.asarray(ox)
-    # By[yp, s, h] = Σ_t oy[yp, t] B2[t, s, h]
-    By = jnp.einsum("pt,tsh->psh", oy, B2)
-    # C[yp, xp, h] = Σ_s ox[xp, s] By[yp, s, h]
-    C = jnp.einsum("psh,qs->pqh", By, ox)                     # [W², W², H]
-    C = C.reshape(ws, ws, ws, ws, H)                          # (y1,y2,x1,x2)
-    C = C.transpose(0, 2, 1, 3, 4)                            # (y1,x1,y2,x2)
-    return C.reshape(ws * ws, ws * ws, H).transpose(2, 0, 1)  # [H, N, N]
+    oy = jnp.asarray(oy, cpb.dtype)    # [W, W, T] over (y1, y2, Δy)
+    ox = jnp.asarray(ox, cpb.dtype)
+    # By[h, y1, y2, s] = Σ_t oy[y1,y2,t] B2[t,s,h]   (small: H·W²·T)
+    By = jnp.einsum("abt,tsh->habs", oy, B2)
+    # C[h, y1, y2, x1, x2] = Σ_s By[h,y1,y2,s] ox[x1,x2,s] — native habcd
+    C = jnp.einsum("habs,cds->habcd", By, ox)
+    C = C.transpose(0, 1, 3, 2, 4)                  # habcd → hacbd (one copy)
+    return C.reshape(H, ws * ws, ws * ws)           # bitcast
 
 
 @functools.lru_cache(maxsize=None)
