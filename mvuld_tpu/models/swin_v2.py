@@ -185,8 +185,12 @@ def relative_bias_from_table(cpb: jnp.ndarray, window_size: int) -> jnp.ndarray:
     By = jnp.einsum("abt,tsh->habs", oy, B2)
     # C[h, y1, y2, x1, x2] = Σ_s By[h,y1,y2,s] ox[x1,x2,s] — native habcd
     C = jnp.einsum("habs,cds->habcd", By, ox)
-    C = C.transpose(0, 1, 3, 2, 4)                  # habcd → hacbd (one copy)
-    return C.reshape(H, ws * ws, ws * ws)           # bitcast
+    # transpose+merge as ONE HLO reshape-with-dimensions: a separate 5-D
+    # transpose materializes [.., 28, 28]-minor tiles (lane dim 28/128 —
+    # the TPU tile pads each to (8,128)) and then repacks; folding the
+    # permutation into the reshape keeps it a single well-tiled copy
+    return jax.lax.reshape(C, (H, ws * ws, ws * ws),
+                           dimensions=(0, 1, 3, 2, 4))
 
 
 @functools.lru_cache(maxsize=None)

@@ -64,7 +64,7 @@ def test_policy_drops_fwd_kernel_rerun(scan_blocks):
 def test_policy_drops_bias_expansion_rerun(scan_blocks):
     """The CPB bias is a residual of the attention custom-VJP: with
     "attn_bias" in the save list the block-Toeplitz expansion (signature:
-    the 5-D (0,1,3,2,4) transpose in relative_bias_from_table) must appear
+    the (0,1,3,2,4) reshape-with-dimensions in relative_bias_from_table) must appear
     only in the forward, not again in the remat recompute."""
     x = jnp.zeros((1, 16, 16, 3), jnp.float32)
     counts = {}
@@ -82,7 +82,7 @@ def test_policy_drops_bias_expansion_rerun(scan_blocks):
             return jnp.sum(out ** 2)
 
         jaxpr = jax.make_jaxpr(jax.grad(loss))(variables["params"], x)
-        counts[save] = str(jaxpr).count("permutation=(0, 1, 3, 2, 4)")
+        counts[save] = str(jaxpr).count("dimensions=(0, 1, 3, 2, 4)")
     # full remat: fwd + recompute = 2 expansions per block call-site;
     # saved: fwd only = 1 (plus, either way, sigmoid-bwd reuse is free).
     assert 0 < counts[True] < counts[False], counts
