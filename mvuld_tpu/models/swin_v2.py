@@ -415,7 +415,8 @@ class WindowAttentionV2(nn.Module):
             # mxu_bf16=False: measured SLOWER on v5e — the kernel is
             # VPU-bound (softmax chain), and the bf16 casts add VPU passes
             from mvuld_tpu.ops.window_attention import (
-                window_attention_flat, window_attention_flat_sharded)
+                _flat_bwd_v2_default, window_attention_flat,
+                window_attention_flat_sharded)
             xw = x_ if window_grid is not None else window_partition(x_, ws)
             qkv = xw @ qkv_w.astype(self.dtype)           # [Bn, N, 3C]
             if qkv_b is not None:
@@ -435,6 +436,10 @@ class WindowAttentionV2(nn.Module):
                     qkv, bias, scale.reshape(H), shift=shift, nWh=Hp // ws,
                     nWw=Wp // ws, interpret=po.interpret) # [Bn, N, C] fp32
             out = out.astype(self.dtype)
+            # the v2 backward path checkpoint-names its residuals
+            # ("attn_out"/"attn_rowsum") INSIDE window_attention_flat —
+            # naming again here would save a second copy under remat
+            named_inside = _flat_bwd_v2_default()
             if window_grid is None:
                 out = window_reverse(out, ws, Hp, Wp)     # [B, Hp, Wp, C]
         else:
@@ -466,6 +471,7 @@ class WindowAttentionV2(nn.Module):
             out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(self.dtype), v)
             out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
             out = window_reverse(out, ws, Hp, Wp)             # [B, Hp, Wp, C]
+            named_inside = False
         # Name the attention output for selective remat: under
         # jax.checkpoint(policy=save_only_these_names("attn_out")) the bwd
         # pass reads this saved value instead of RE-RUNNING the fused fwd
@@ -473,8 +479,10 @@ class WindowAttentionV2(nn.Module):
         # which the policy recomputes via the cheap qkv GEMM; the output is
         # only needed downstream by proj's bwd — saving it severs the one
         # data dependency that forced the kernel re-run). ~Hp·Wp·C bf16 per
-        # block (~1.6 GB total for SwinV2-Base-448 @ bs64).
-        out = checkpoint_name(out, "attn_out")
+        # block (~1.6 GB total for SwinV2-Base-448 @ bs64). The v2 flat path
+        # names inside the kernel wrapper instead (named_inside above).
+        if not named_inside:
+            out = checkpoint_name(out, "attn_out")
         out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
@@ -742,7 +750,12 @@ class SwinTransformerV2(nn.Module):
         # block-Toeplitz expansion (one-hot matmuls + [ws,ws,ws,ws,H] layout
         # permutes — profiled at ~25 ms/step of the bwd recompute at bs64)
         # for ~0.7 GB of fp32 saves.
-        saved_names = (["attn_out", "attn_bias"]
+        # attn_rowsum: the v2 flat backward's second residual (reciprocal
+        # softmax row sums, ~C/(2·hd) the size of attn_out) — saving it is
+        # what lets the backward read Σe from the forward instead of
+        # re-reducing the [N, N] probabilities (ops/window_attention.py
+        # pallas_window_attention_flat_bwd2).
+        saved_names = (["attn_out", "attn_bias", "attn_rowsum"]
                        if self.save_attn_in_remat else [])
         if self.save_qkv_in_remat:
             saved_names.append("qkv")

@@ -22,13 +22,27 @@ exp-clamped). The mask is a host constant → closed over, not traced.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _flat_bwd_v2_default() -> bool:
+    """v2 backward (forward-saved rowsum + rowsum(g·o) trick) unless
+    MVULD_ATTN_BWD=v1 — see pallas_window_attention_flat_bwd2."""
+    return os.environ.get("MVULD_ATTN_BWD", "v2").lower() != "v1"
+
+
+def _tn_dots_default() -> bool:
+    """MVULD_ATTN_TN_DOTS=1 flips the v2 backward's dv/dk contractions to
+    the transposed-operand form (perf A/B knob; same math)."""
+    return os.environ.get("MVULD_ATTN_TN_DOTS", "0") == "1"
 
 
 def _kernel_masked(q_ref, k_ref, v_ref, bias_ref, scale_ref, mask_ref, o_ref):
@@ -744,11 +758,13 @@ def _check_flat_geometry(Bn, N, C, H, ws, bias_shape, shift, nWh, nWw):
 
 
 def _flat_fwd_kernel_factory(GL: int, hd: int, ws: int, shift: int,
-                             nWh: int, nWw: int, mxu_bf16: bool):
+                             nWh: int, nWw: int, mxu_bf16: bool,
+                             emit_rowsum: bool = False):
     N = ws * ws
     mxu_t = jnp.bfloat16 if mxu_bf16 else jnp.float32
 
-    def kernel(q_ref, k_ref, v_ref, bias_ref, scale_ref, o_ref):
+    def flat_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, scale_ref, o_ref,
+                        *maybe_r_ref):
         hg = pl.program_id(0)
         if shift > 0:
             wid = pl.program_id(1) % (nWh * nWw)
@@ -756,6 +772,7 @@ def _flat_fwd_kernel_factory(GL: int, hd: int, ws: int, shift: int,
                                        wid % nWw == nWw - 1)
         else:
             mask = None
+        rows = []
         for gi in range(GL):            # static unroll: GL is 4 (or tiny H)
             sl = slice(gi * hd, (gi + 1) * hd)
             q = q_ref[0, :, sl].astype(jnp.float32)
@@ -781,11 +798,17 @@ def _flat_fwd_kernel_factory(GL: int, hd: int, ws: int, shift: int,
             # another (≡ softmax(s) @ v up to rounding).
             e = jnp.exp(s - scale_ref[hg * GL + gi, 1])
             out = _dot(e.astype(mxu_t), v.astype(mxu_t), 1, 0)
-            out = out / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+            denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+            out = out / denom
             o_ref[0, :, sl] = out.astype(o_ref.dtype)
+            if emit_rowsum:
+                rows.append((1.0 / denom)[:, 0])
+        if emit_rowsum:
+            # reciprocal row sums for the v2 backward: [N, GL] per block
+            maybe_r_ref[0][0, 0] = jnp.stack(rows, axis=-1)
         return
 
-    return kernel
+    return flat_fwd_kernel
 
 
 def _scale_and_shift_smem(logit_scale, bias):
@@ -810,13 +833,19 @@ def _scale_and_shift_smem(logit_scale, bias):
 def pallas_window_attention_flat(qkv, bias, logit_scale, shift: int = 0,
                                  nWh: int = 1, nWw: int = 1,
                                  interpret: bool = False,
-                                 mxu_bf16: bool = False):
+                                 mxu_bf16: bool = False,
+                                 return_rowsum: bool = False,
+                                 out_dtype=None):
     """Flat-layout fused forward.
 
     qkv: [Bn, N, 3C] (windows already partitioned; batch-major window order
     b = batch·nW + wh·nWw + ww); bias [H, N, N]; logit_scale [H]; the shift
-    mask is synthesized in-kernel from the window id. Returns [Bn, N, C]
-    fp32 (cast AFTER the call fuses into the proj GEMM).
+    mask is synthesized in-kernel from the window id. Returns [Bn, N, C] in
+    ``out_dtype`` (default fp32 — the cast AFTER the call fuses into the
+    proj GEMM; the v2 backward path writes the model dtype directly to
+    halve the output store traffic). With ``return_rowsum`` also returns
+    the reciprocal softmax row sums [NB, Bn, N, GL] fp32 (the v2 backward
+    residual — lane-blocked so the trailing block dim equals the array dim).
     """
     Bn, N, threeC = qkv.shape
     C = threeC // 3
@@ -838,13 +867,23 @@ def pallas_window_attention_flat(qkv, bias, logit_scale, shift: int = 0,
     scale_spec = pl.BlockSpec((H, 2), lambda hg, b: (0, 0),
                               memory_space=pltpu.SMEM)
     scale = _scale_and_shift_smem(logit_scale, bias)
+    out_dtype = jnp.float32 if out_dtype is None else out_dtype
+    out_specs = pl.BlockSpec((1, N, GL * hd), lambda hg, b: (b, 0, hg),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((Bn, N, C), out_dtype)
+    if return_rowsum:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 1, N, GL), lambda hg, b: (hg, b, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((NB, Bn, N, GL), jnp.float32))
     return pl.pallas_call(
-        _flat_fwd_kernel_factory(GL, hd, ws, shift, nWh, nWw, mxu_bf16),
+        _flat_fwd_kernel_factory(GL, hd, ws, shift, nWh, nWw, mxu_bf16,
+                                 emit_rowsum=return_rowsum),
         grid=(NB, Bn),
         in_specs=[spec(0), spec(NB), spec(2 * NB), bias_spec, scale_spec],
-        out_specs=pl.BlockSpec((1, N, GL * hd), lambda hg, b: (b, 0, hg),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bn, N, C), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * Bn * H * N * N * hd,
@@ -863,8 +902,8 @@ def _flat_bwd_kernel_factory(GL: int, hd: int, ws: int, shift: int,
     N = ws * ws
     mxu_t = jnp.bfloat16 if mxu_bf16 else jnp.float32
 
-    def kernel(q_ref, k_ref, v_ref, bias_ref, scale_ref, g_ref,
-               dq_ref, dk_ref, dv_ref, dbias_ref, dscale_ref):
+    def flat_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, scale_ref, g_ref,
+                        dq_ref, dk_ref, dv_ref, dbias_ref, dscale_ref):
         hg = pl.program_id(0)
         b = pl.program_id(1)
         if shift > 0:
@@ -943,7 +982,7 @@ def _flat_bwd_kernel_factory(GL: int, hd: int, ws: int, shift: int,
             dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
         return
 
-    return kernel
+    return flat_bwd_kernel
 
 
 def pallas_window_attention_flat_bwd(qkv, bias, logit_scale, g,
@@ -1005,6 +1044,156 @@ def pallas_window_attention_flat_bwd(qkv, bias, logit_scale, g,
     return dq, dk, dv, dbias, dscale.reshape(H)
 
 
+def _flat_bwd2_kernel_factory(GL: int, hd: int, ws: int, shift: int,
+                              nWh: int, nWw: int, mxu_bf16: bool,
+                              tn_dots: bool = False):
+    N = ws * ws
+    mxu_t = jnp.bfloat16 if mxu_bf16 else jnp.float32
+
+    def flat_bwd2_kernel(q_ref, k_ref, v_ref, bias_ref, scale_ref, g_ref,
+                         o_ref, r_ref,
+                         dq_ref, dk_ref, dv_ref, dbias_ref, dscale_ref):
+        hg = pl.program_id(0)
+        b = pl.program_id(1)
+        if shift > 0:
+            wid = b % (nWh * nWw)
+            mask = _window_region_mask(ws, shift, wid // nWw == nWh - 1,
+                                       wid % nWw == nWw - 1)
+        else:
+            mask = None
+
+        @pl.when(b == 0)
+        def _():
+            dbias_ref[...] = jnp.zeros(dbias_ref.shape, dbias_ref.dtype)
+            for gz in range(GL):
+                dscale_ref[hg * GL + gz, 0] = 0.0
+
+        rall = r_ref[0, 0]                       # [N, GL] fp32 reciprocals
+        for gi in range(GL):            # static unroll
+            sl = slice(gi * hd, (gi + 1) * hd)
+            q = q_ref[0, :, sl].astype(jnp.float32)
+            k = k_ref[0, :, sl].astype(jnp.float32)
+            v = v_ref[0, :, sl].astype(jnp.float32)
+            g = g_ref[0, :, sl].astype(jnp.float32)
+            o = o_ref[0, :, sl].astype(jnp.float32)
+            scale = scale_ref[hg * GL + gi, 0]
+
+            qn = jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
+            kn = jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
+            qh = q * qn
+            kh = k * kn
+            qh16 = qh.astype(mxu_t)
+            kh16 = kh.astype(mxu_t)
+            s_cos = _dot(qh16, kh16, 1, 1)
+            # v2 softmax recompute: e as in the v1 kernel (static shift m
+            # from SMEM), but BOTH row reductions come from forward-saved /
+            # [N, hd]-cheap quantities instead of [N, N] VPU passes:
+            #   r  = 1/Σe  — saved by the forward (fp32, post-clamp)
+            #   Σ_j dp_ij·p_ij = g_i·(Σ_j p_ij v_j) = g_i·o_i  — the
+            #   flash-attention identity, a rowsum over the SAVED output
+            # so ds = p·(dp − Σ dp·p) = e·(r·(dp − rowsum(g·o))).
+            # ([N,N] VPU passes vs v1: the Σe reduce and the dp·e
+            # multiply-reduce are gone — the bwd chain is now
+            # fma(s) / exp / (dp − t) / ·e·r / dbias+= / ds·s_cos.)
+            s = s_cos * scale + (bias_ref[gi].astype(jnp.float32)
+                                 - scale_ref[hg * GL + gi, 1])
+            if mask is not None:
+                s = s + mask
+            e = jnp.exp(s)
+            r = rall[:, gi][:, None]             # [N, 1]
+            t = jnp.sum(g * o, axis=-1, keepdims=True)   # [N, 1] cheap
+            # r·(dp − t) is bounded even for clamped (underflowed) rows:
+            # |t| ≤ max|dp| and e ≤ 1, as in the v1 kernel's note.
+            dp = _dot(g.astype(mxu_t), v.astype(mxu_t), 1, 1)
+            ds = e * (r * (dp - t))
+
+            dbias_ref[gi] += ds.astype(dbias_ref.dtype)
+            dscale_ref[hg * GL + gi, 0] += jnp.sum(ds * s_cos)
+
+            ds16 = ds.astype(mxu_t)
+            dqh = _dot(ds16, kh16, 1, 0) * scale
+            if tn_dots:
+                dv = _dot((r * g).astype(mxu_t).T, e.astype(mxu_t), 1, 0).T
+                dkh = _dot(qh16.T, ds16, 1, 0).T * scale
+            else:
+                dv = _dot(e.astype(mxu_t), (r * g).astype(mxu_t), 0, 0)
+                dkh = _dot(ds16, qh16, 0, 0) * scale         # dsᵀ·qh
+            dq = (dqh - qh * jnp.sum(qh * dqh, axis=-1, keepdims=True)) * qn
+            dk = (dkh - kh * jnp.sum(kh * dkh, axis=-1, keepdims=True)) * kn
+            dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+        return
+
+    return flat_bwd2_kernel
+
+
+def pallas_window_attention_flat_bwd2(qkv, bias, logit_scale, o, r, g,
+                                      shift: int = 0,
+                                      nWh: int = 1, nWw: int = 1,
+                                      interpret: bool = False,
+                                      mxu_bf16: bool = False,
+                                      tn_dots: bool = False,
+                                      grad_dtype=None):
+    """v2 flat backward: consumes the forward output ``o`` [Bn, N, C] and
+    the reciprocal row sums ``r`` [NB, Bn, N, GL] (both forward residuals,
+    checkpoint-named "attn_out"/"attn_rowsum" for the remat policy) to drop
+    two of the [N, N] VPU passes the v1 kernel recomputes — see the kernel
+    note. dq/dk/dv are written in ``grad_dtype`` (default: qkv.dtype, so
+    bf16 training never round-trips fp32 gradients through HBM)."""
+    Bn, N, threeC = qkv.shape
+    C = threeC // 3
+    H = bias.shape[0]
+    hd = C // H
+    ws = int(np.sqrt(N))
+    _check_flat_geometry(Bn, N, C, H, ws, bias.shape, shift, nWh, nWw)
+    GL = _lane_group(H, hd, C)
+    NB = H // GL
+    grad_dtype = qkv.dtype if grad_dtype is None else grad_dtype
+
+    def spec(off):
+        return pl.BlockSpec((1, N, GL * hd), lambda hg, b: (b, 0, off + hg),
+                            memory_space=pltpu.VMEM)
+
+    gout_spec = pl.BlockSpec((1, N, GL * hd), lambda hg, b: (b, 0, hg),
+                             memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((GL, N, N), lambda hg, b: (hg, 0, 0),
+                             memory_space=pltpu.VMEM)
+    scale_spec = pl.BlockSpec((H, 2), lambda hg, b: (0, 0),
+                              memory_space=pltpu.SMEM)
+    r_spec = pl.BlockSpec((1, 1, N, GL), lambda hg, b: (hg, b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    scale = _scale_and_shift_smem(logit_scale, bias)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((Bn, N, C), grad_dtype),    # dq
+        jax.ShapeDtypeStruct((Bn, N, C), grad_dtype),    # dk
+        jax.ShapeDtypeStruct((Bn, N, C), grad_dtype),    # dv
+        jax.ShapeDtypeStruct((H, N, N), jnp.float32),
+        jax.ShapeDtypeStruct((H, 1), jnp.float32),
+    )
+    out_specs = (
+        gout_spec, gout_spec, gout_spec,
+        pl.BlockSpec((GL, N, N), lambda hg, b: (hg, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, 1), lambda hg, b: (0, 0),
+                     memory_space=pltpu.SMEM),
+    )
+    dq, dk, dv, dbias, dscale = pl.pallas_call(
+        _flat_bwd2_kernel_factory(GL, hd, ws, shift, nWh, nWw, mxu_bf16,
+                                  tn_dots=tn_dots),
+        grid=(NB, Bn),
+        in_specs=[spec(0), spec(NB), spec(2 * NB), bias_spec, scale_spec,
+                  gout_spec, gout_spec, r_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(qkv, qkv, qkv, bias, scale, g, o, r)
+    return dq, dk, dv, dbias, dscale.reshape(H)
+
+
 def window_attention_flat_reference(qkv, bias, logit_scale,
                                     mask: Optional[np.ndarray] = None):
     """Plain-XLA flat-layout composition (tests, non-TPU backends)."""
@@ -1043,13 +1232,74 @@ def make_window_attention_flat(shift: int, nWh: int, nWw: int,
     return attn
 
 
+@functools.lru_cache(maxsize=None)
+def _make_flat_attach_grad(shift: int, nWh: int, nWw: int,
+                           mxu_bf16: bool = False, interpret: bool = False,
+                           tn_dots: bool = False):
+    """The v2 gradient attachment: a custom_vjp IDENTITY on the forward
+    output whose residuals are exactly the checkpoint-named tensors the
+    caller passes in (qkv, bias, scale, out, rowsums). Keeping the forward
+    kernel OUTSIDE the custom_vjp (stop-gradient'd, named) guarantees the
+    remat policy can save out/rowsums by name and the backward never
+    replays the forward kernel — residual recompute stops at the saved
+    values (the v1 path relied on residuals being kernel INPUTS for the
+    same property)."""
+
+    @jax.custom_vjp
+    def attach(qkv, bias, logit_scale, out, r):
+        return out
+
+    def fwd(qkv, bias, logit_scale, out, r):
+        return out, (qkv, bias, logit_scale, out, r)
+
+    def bwd(res, g):
+        qkv, bias, logit_scale, out, r = res
+        dq, dk, dv, dbias, dscale = pallas_window_attention_flat_bwd2(
+            qkv, bias, logit_scale, out, r, g, shift, nWh, nWw,
+            interpret=interpret, mxu_bf16=mxu_bf16, tn_dots=tn_dots)
+        dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+        # out/r are stop-gradient'd upstream; zero cotangents are DCE'd
+        return (dqkv.astype(qkv.dtype), dbias,
+                dscale.astype(jnp.asarray(logit_scale).dtype),
+                jnp.zeros_like(out), jnp.zeros_like(r))
+
+    attach.defvjp(fwd, bwd)
+    return attach
+
+
 def window_attention_flat(qkv, bias, logit_scale, shift: int = 0,
                           nWh: int = 1, nWw: int = 1,
-                          mxu_bf16: bool = False, interpret: bool = False):
+                          mxu_bf16: bool = False, interpret: bool = False,
+                          bwd_v2: Optional[bool] = None):
     """Flat-layout fused window attention with autodiff (static shift and
-    window grid). The production kernel — see the design note above."""
-    return make_window_attention_flat(shift, nWh, nWw, mxu_bf16, interpret)(
-        qkv, bias, logit_scale)
+    window grid). The production kernel — see the design note above.
+
+    ``bwd_v2`` (default: env MVULD_ATTN_BWD, "v2" unless set to "v1")
+    selects the backward generation: v2 saves the forward output + the
+    reciprocal softmax row sums as named residuals ("attn_out" /
+    "attn_rowsum" — both in SwinTransformerV2.saved_names) and uses the
+    flash-attention identity Σ dp·p = rowsum(g·o) to drop two [N, N] VPU
+    passes from the backward kernel; it also emits the forward output and
+    dq/dk/dv in the model dtype directly."""
+    if bwd_v2 is None:
+        bwd_v2 = _flat_bwd_v2_default()
+    if not bwd_v2:
+        return make_window_attention_flat(shift, nWh, nWw, mxu_bf16,
+                                          interpret)(qkv, bias, logit_scale)
+    # stop_gradient on the INPUTS: no tangents may enter the forward
+    # pallas_call (its JVP rule would fire during linearization even though
+    # the cotangent of out/r is zero) — all gradients flow through the
+    # attach-grad custom_vjp below instead
+    out, r = pallas_window_attention_flat(
+        jax.lax.stop_gradient(qkv), jax.lax.stop_gradient(bias),
+        jax.lax.stop_gradient(logit_scale), shift, nWh, nWw,
+        interpret=interpret, mxu_bf16=mxu_bf16, return_rowsum=True,
+        out_dtype=qkv.dtype)
+    out = checkpoint_name(out, "attn_out")
+    r = checkpoint_name(r, "attn_rowsum")
+    return _make_flat_attach_grad(shift, nWh, nWw, mxu_bf16, interpret,
+                                  tn_dots=_tn_dots_default())(
+        qkv, bias, logit_scale, out, r)
 
 
 def window_attention_flat_sharded(qkv, bias, logit_scale, shift: int,

@@ -224,14 +224,7 @@ def test_model_pallas_path_matches_xla_path():
     variables = model_xla.init(jax.random.PRNGKey(0), x)
     want = np.asarray(model_xla.apply(variables, x))
 
-    orig_f = wa.pallas_window_attention_flat
-    orig_b = wa.pallas_window_attention_flat_bwd
-    wa.pallas_window_attention_flat = \
-        lambda *a, **kw: orig_f(*a, **{**kw, "interpret": True})
-    wa.pallas_window_attention_flat_bwd = \
-        lambda *a, **kw: orig_b(*a, **{**kw, "interpret": True})
-    try:
-        wa.make_window_attention_flat.cache_clear()
+    with _interpret_flat():
         model_p = SwinTransformerV2(cfg, use_pallas=True)
         got = np.asarray(model_p.apply(variables, x))
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
@@ -248,13 +241,38 @@ def test_model_pallas_path_matches_xla_path():
                         jax.tree_util.tree_leaves(gx)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-3, rtol=5e-3)
-    finally:
-        wa.pallas_window_attention_flat = orig_f
-        wa.pallas_window_attention_flat_bwd = orig_b
-        wa.make_window_attention_flat.cache_clear()
 
 
 # --------------------------------------------------------------- flat layout
+import contextlib
+
+
+@contextlib.contextmanager
+def _interpret_flat():
+    """Force ALL flat-layout pallas_calls (fwd + v1 bwd + v2 bwd) to
+    interpret mode so jax.grad through window_attention_flat runs on CPU."""
+    import mvuld_tpu.ops.window_attention as wa
+    orig_f = wa.pallas_window_attention_flat
+    orig_b = wa.pallas_window_attention_flat_bwd
+    orig_b2 = wa.pallas_window_attention_flat_bwd2
+    wa.pallas_window_attention_flat = \
+        lambda *a, **kw: orig_f(*a, **{**kw, "interpret": True})
+    wa.pallas_window_attention_flat_bwd = \
+        lambda *a, **kw: orig_b(*a, **{**kw, "interpret": True})
+    wa.pallas_window_attention_flat_bwd2 = \
+        lambda *a, **kw: orig_b2(*a, **{**kw, "interpret": True})
+    wa.make_window_attention_flat.cache_clear()
+    wa._make_flat_attach_grad.cache_clear()
+    try:
+        yield wa
+    finally:
+        wa.pallas_window_attention_flat = orig_f
+        wa.pallas_window_attention_flat_bwd = orig_b
+        wa.pallas_window_attention_flat_bwd2 = orig_b2
+        wa.make_window_attention_flat.cache_clear()
+        wa._make_flat_attach_grad.cache_clear()
+
+
 def _flat_inputs(seed=0, Bn=8, ws=4, heads=2, hd=8):
     rng = np.random.RandomState(seed)
     N = ws * ws
@@ -313,26 +331,20 @@ def test_flat_kernel_underflow_row_sum_finite():
         interpret=True))
     assert np.isfinite(out).all(), "fwd NaN under softmax-shift underflow"
 
-    orig_f = wa.pallas_window_attention_flat
-    orig_b = wa.pallas_window_attention_flat_bwd
-    wa.pallas_window_attention_flat = \
-        lambda *a, **kw: orig_f(*a, **{**kw, "interpret": True})
-    wa.pallas_window_attention_flat_bwd = \
-        lambda *a, **kw: orig_b(*a, **{**kw, "interpret": True})
-    try:
-        wa.make_window_attention_flat.cache_clear()
+    with _interpret_flat():
 
         def loss(a):
             return (wa.window_attention_flat(*a) ** 2).sum()
 
         grads = jax.grad(loss)(tuple(map(jnp.asarray, (qkv, bias, scale))))
-    finally:
-        wa.pallas_window_attention_flat = orig_f
-        wa.pallas_window_attention_flat_bwd = orig_b
-        wa.make_window_attention_flat.cache_clear()
-    for g in grads:
+        grads_v1 = jax.grad(
+            lambda a: (wa.window_attention_flat(*a, bwd_v2=False) ** 2).sum()
+        )(tuple(map(jnp.asarray, (qkv, bias, scale))))
+    for g, g1 in zip(grads, grads_v1):
         assert np.isfinite(np.asarray(g)).all(), \
-            "bwd NaN/inf under softmax-shift underflow"
+            "v2 bwd NaN/inf under softmax-shift underflow"
+        assert np.isfinite(np.asarray(g1)).all(), \
+            "v1 bwd NaN/inf under softmax-shift underflow"
 
 
 def test_flat_custom_vjp_gradients_match():
@@ -345,27 +357,48 @@ def test_flat_custom_vjp_gradients_match():
 
     want = jax.grad(ref_loss)(tuple(map(jnp.asarray, (qkv, bias, scale))))
 
-    orig_f = wa.pallas_window_attention_flat
-    orig_b = wa.pallas_window_attention_flat_bwd
-    wa.pallas_window_attention_flat = \
-        lambda *a, **kw: orig_f(*a, **{**kw, "interpret": True})
-    wa.pallas_window_attention_flat_bwd = \
-        lambda *a, **kw: orig_b(*a, **{**kw, "interpret": True})
-    try:
-        wa.make_window_attention_flat.cache_clear()
+    with _interpret_flat():
 
         def fused_loss(a):
             return (wa.window_attention_flat(*a, shift=2, nWh=2, nWw=2)
                     ** 2).sum()
 
         got = jax.grad(fused_loss)(tuple(map(jnp.asarray, (qkv, bias, scale))))
-    finally:
-        wa.pallas_window_attention_flat = orig_f
-        wa.pallas_window_attention_flat_bwd = orig_b
-        wa.make_window_attention_flat.cache_clear()
-    for g, w in zip(got, want):
+
+        def fused_loss_v1(a):
+            return (wa.window_attention_flat(*a, shift=2, nWh=2, nWw=2,
+                                             bwd_v2=False) ** 2).sum()
+
+        got_v1 = jax.grad(fused_loss_v1)(
+            tuple(map(jnp.asarray, (qkv, bias, scale))))
+    for g, g1, w in zip(got, got_v1, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    atol=2e-4, rtol=1e-3)
+        # the v2 backward (forward-saved rowsums + rowsum(g·o) identity)
+        # must agree with the v1 backward to fp32 accumulation noise
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g1),
+                                   atol=2e-4, rtol=1e-3)
+
+
+def test_flat_bwd2_tn_dots_parity(monkeypatch):
+    """The transposed-operand dv/dk contraction variant (MVULD_ATTN_TN_DOTS,
+    a perf A/B knob) must compute identical gradients."""
+    import mvuld_tpu.ops.window_attention as wa
+    qkv, bias, scale = _flat_inputs(seed=9)
+    args = tuple(map(jnp.asarray, (qkv, bias, scale)))
+
+    def loss(a):
+        return (wa.window_attention_flat(*a, shift=2, nWh=2, nWw=2) ** 2).sum()
+
+    with _interpret_flat():
+        monkeypatch.setenv("MVULD_ATTN_TN_DOTS", "0")
+        base = jax.grad(loss)(args)
+        monkeypatch.setenv("MVULD_ATTN_TN_DOTS", "1")
+        wa._make_flat_attach_grad.cache_clear()
+        tn = jax.grad(loss)(args)
+    for a, b in zip(base, tn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
 
 
 @pytest.mark.slow
@@ -384,14 +417,7 @@ def test_model_pallas_bf16_path_close():
     variables = model_xla.init(jax.random.PRNGKey(0), x)
     want = np.asarray(model_xla.apply(variables, x))
 
-    orig_f = wa.pallas_window_attention_flat
-    orig_b = wa.pallas_window_attention_flat_bwd
-    wa.pallas_window_attention_flat = \
-        lambda *a, **kw: orig_f(*a, **{**kw, "interpret": True})
-    wa.pallas_window_attention_flat_bwd = \
-        lambda *a, **kw: orig_b(*a, **{**kw, "interpret": True})
-    try:
-        wa.make_window_attention_flat.cache_clear()
+    with _interpret_flat():
         import dataclasses
         cfg16 = dataclasses.replace(cfg, dtype=jnp.bfloat16)
         model_p = SwinTransformerV2(cfg16, use_pallas=True)
@@ -405,7 +431,3 @@ def test_model_pallas_bf16_path_close():
         gp = jax.grad(loss_p)(variables["params"])   # must trace + be finite
         for leaf in jax.tree_util.tree_leaves(gp):
             assert np.isfinite(np.asarray(leaf, np.float32)).all()
-    finally:
-        wa.pallas_window_attention_flat = orig_f
-        wa.pallas_window_attention_flat_bwd = orig_b
-        wa.make_window_attention_flat.cache_clear()
