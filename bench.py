@@ -254,7 +254,12 @@ def main() -> None:
             # `timed` is a closure over superbatch/nonlocal_state — drop it
             # too or the buffers stay referenced
             del state, superbatch, metrics, variables, x, timed
-            result.update(_e2e_bench(jax, jnp, np, rng))
+            try:
+                result.update(_e2e_bench(jax, jnp, np, rng))
+            except Exception as e:            # noqa: BLE001
+                # never let the optional e2e stage turn a round with good
+                # swin/fusion numbers into rc!=0 (BENCH_r02 postmortem)
+                result["e2e_error"] = repr(e)[:500]
         print(json.dumps(result), flush=True)
 
 
@@ -413,7 +418,14 @@ def _e2e_bench(jax, jnp, np, rng):
     try:
         state, m = step(state, sb, rng)       # compile + warmup
     except Exception as e:                    # noqa: BLE001
-        if "RESOURCE_EXHAUSTED" not in str(e):
+        # the axon relay wraps compile-time HBM OOM as an opaque
+        # "INTERNAL: ...remote_compile: HTTP 500" (the "Ran out of memory"
+        # text stays in the relay's stderr, not the exception) — treat any
+        # remote-compile failure as OOM-shaped and retry conservatively;
+        # a real compile bug fails the retry too and raises from there
+        if not any(s in str(e) for s in ("RESOURCE_EXHAUSTED",
+                                         "Ran out of memory",
+                                         "remote_compile")):
             raise
         # HBM headroom shifted (e.g. other device residents): fall back to
         # the conservative remat config (every swin stage + the text

@@ -45,6 +45,13 @@ def _tn_dots_default() -> bool:
     return os.environ.get("MVULD_ATTN_TN_DOTS", "0") == "1"
 
 
+def _mxu_bf16_default(mxu_bf16: bool) -> bool:
+    """MVULD_ATTN_MXU_BF16=1 runs the kernels' MXU dots in bf16 (perf A/B
+    knob — for v1 the casts' extra VPU passes measured slower than the
+    fp32-dot MXU time; the v2 backward shifted that balance)."""
+    return mxu_bf16 or os.environ.get("MVULD_ATTN_MXU_BF16", "0") == "1"
+
+
 def _kernel_masked(q_ref, k_ref, v_ref, bias_ref, scale_ref, mask_ref, o_ref):
     _attn_body(q_ref, k_ref, v_ref, bias_ref, scale_ref, o_ref,
                mask=mask_ref[0])
@@ -804,8 +811,11 @@ def _flat_fwd_kernel_factory(GL: int, hd: int, ws: int, shift: int,
             if emit_rowsum:
                 rows.append((1.0 / denom)[:, 0])
         if emit_rowsum:
-            # reciprocal row sums for the v2 backward: [N, GL] per block
-            maybe_r_ref[0][0, 0] = jnp.stack(rows, axis=-1)
+            # reciprocal row sums for the v2 backward: [GL, N] per block —
+            # N stays the lane (128) dim so HBM tiling pads GL→8 sublanes
+            # instead of GL→128 lanes (a [.., N, GL] layout would inflate
+            # the saved residual ~32× at GL=4)
+            maybe_r_ref[0][0, 0] = jnp.stack(rows, axis=0)
         return
 
     return flat_fwd_kernel
@@ -844,8 +854,8 @@ def pallas_window_attention_flat(qkv, bias, logit_scale, shift: int = 0,
     ``out_dtype`` (default fp32 — the cast AFTER the call fuses into the
     proj GEMM; the v2 backward path writes the model dtype directly to
     halve the output store traffic). With ``return_rowsum`` also returns
-    the reciprocal softmax row sums [NB, Bn, N, GL] fp32 (the v2 backward
-    residual — lane-blocked so the trailing block dim equals the array dim).
+    the reciprocal softmax row sums [NB, Bn, GL, N] fp32 (the v2 backward
+    residual — N stays the lane dim so HBM tiling pads GL, not N).
     """
     Bn, N, threeC = qkv.shape
     C = threeC // 3
@@ -873,10 +883,10 @@ def pallas_window_attention_flat(qkv, bias, logit_scale, shift: int = 0,
     out_shape = jax.ShapeDtypeStruct((Bn, N, C), out_dtype)
     if return_rowsum:
         out_specs = (out_specs,
-                     pl.BlockSpec((1, 1, N, GL), lambda hg, b: (hg, b, 0, 0),
+                     pl.BlockSpec((1, 1, GL, N), lambda hg, b: (hg, b, 0, 0),
                                   memory_space=pltpu.VMEM))
         out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((NB, Bn, N, GL), jnp.float32))
+                     jax.ShapeDtypeStruct((NB, Bn, GL, N), jnp.float32))
     return pl.pallas_call(
         _flat_fwd_kernel_factory(GL, hd, ws, shift, nWh, nWw, mxu_bf16,
                                  emit_rowsum=return_rowsum),
@@ -1068,7 +1078,7 @@ def _flat_bwd2_kernel_factory(GL: int, hd: int, ws: int, shift: int,
             for gz in range(GL):
                 dscale_ref[hg * GL + gz, 0] = 0.0
 
-        rall = r_ref[0, 0]                       # [N, GL] fp32 reciprocals
+        rall = r_ref[0, 0]                       # [GL, N] fp32 reciprocals
         for gi in range(GL):            # static unroll
             sl = slice(gi * hd, (gi + 1) * hd)
             q = q_ref[0, :, sl].astype(jnp.float32)
@@ -1100,7 +1110,7 @@ def _flat_bwd2_kernel_factory(GL: int, hd: int, ws: int, shift: int,
             if mask is not None:
                 s = s + mask
             e = jnp.exp(s)
-            r = rall[:, gi][:, None]             # [N, 1]
+            r = rall[gi, :][:, None]             # [N, 1]
             t = jnp.sum(g * o, axis=-1, keepdims=True)   # [N, 1] cheap
             # r·(dp − t) is bounded even for clamped (underflowed) rows:
             # |t| ≤ max|dp| and e ≤ 1, as in the v1 kernel's note.
@@ -1136,7 +1146,7 @@ def pallas_window_attention_flat_bwd2(qkv, bias, logit_scale, o, r, g,
                                       tn_dots: bool = False,
                                       grad_dtype=None):
     """v2 flat backward: consumes the forward output ``o`` [Bn, N, C] and
-    the reciprocal row sums ``r`` [NB, Bn, N, GL] (both forward residuals,
+    the reciprocal row sums ``r`` [NB, Bn, GL, N] (both forward residuals,
     checkpoint-named "attn_out"/"attn_rowsum" for the remat policy) to drop
     two of the [N, N] VPU passes the v1 kernel recomputes — see the kernel
     note. dq/dk/dv are written in ``grad_dtype`` (default: qkv.dtype, so
@@ -1161,7 +1171,7 @@ def pallas_window_attention_flat_bwd2(qkv, bias, logit_scale, o, r, g,
                              memory_space=pltpu.VMEM)
     scale_spec = pl.BlockSpec((H, 2), lambda hg, b: (0, 0),
                               memory_space=pltpu.SMEM)
-    r_spec = pl.BlockSpec((1, 1, N, GL), lambda hg, b: (hg, b, 0, 0),
+    r_spec = pl.BlockSpec((1, 1, GL, N), lambda hg, b: (hg, b, 0, 0),
                           memory_space=pltpu.VMEM)
     scale = _scale_and_shift_smem(logit_scale, bias)
 
@@ -1283,6 +1293,7 @@ def window_attention_flat(qkv, bias, logit_scale, shift: int = 0,
     dq/dk/dv in the model dtype directly."""
     if bwd_v2 is None:
         bwd_v2 = _flat_bwd_v2_default()
+    mxu_bf16 = _mxu_bf16_default(mxu_bf16)
     if not bwd_v2:
         return make_window_attention_flat(shift, nWh, nWw, mxu_bf16,
                                           interpret)(qkv, bias, logit_scale)
