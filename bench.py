@@ -178,7 +178,28 @@ def main() -> None:
 
     _t_pre = time.time() - _T0                 # model build + init + data
     _t1 = time.time()
-    state, metrics = multi_step(state, superbatch, rng)   # compile + warmup
+    swin_fallback = False
+    try:
+        state, metrics = multi_step(state, superbatch, rng)  # compile+warmup
+    except Exception as e:                    # noqa: BLE001
+        if not any(s in str(e) for s in ("RESOURCE_EXHAUSTED",
+                                         "Ran out of memory",
+                                         "remote_compile")):
+            raise
+        # HBM headroom shifted: retry with all-stage remat (strictly less
+        # activation memory than the selective default) so the headline
+        # metric survives the round even if slower — mirrors the e2e
+        # stage's conservative fallback
+        swin_fallback = True
+        model = SwinTransformerV2(
+            sc, use_checkpoint=True, scan_blocks=True, use_pallas=True,
+            window_resident=True, use_pallas_mlp=FUSED_MLP,
+            remat_stages=None)
+        state = TrainState.create(variables["params"], tx)
+        multi_step = make_multi_train_step(
+            apply_fn, tx, num_steps=ITERS, label_smoothing=0.1,
+            compiler_options=FUSED_MLP_COMPILER_OPTS)
+        state, metrics = multi_step(state, superbatch, rng)
     losses0 = np.asarray(metrics["loss"])
     assert np.isfinite(losses0).all() and len(set(losses0.tolist())) > 1, \
         "fused steps must do real, distinct work"
@@ -193,6 +214,10 @@ def main() -> None:
 
     nonlocal_state = [state]
     profile_dir = os.environ.get("MVULD_PROFILE")
+    # one untimed warm window: the first dispatch after compile runs
+    # 1.5-18x slower through the relay (residual warmup), which used to
+    # pollute timings_mean_s (min-of-3 already absorbed it)
+    timed()
     times = []
     if profile_dir:
         with jax.profiler.trace(profile_dir):
@@ -217,7 +242,9 @@ def main() -> None:
         "mfu_vs_139tf_measured": round(
             images_per_sec * flops_per_img / 139e12, 3),
         "batch": BATCH, "fused_steps": ITERS, "remat": REMAT,
-        "remat_stages": list(REMAT_STAGES) if REMAT_STAGES else "all",
+        "remat_stages": ("all" if swin_fallback else
+                         (list(REMAT_STAGES) if REMAT_STAGES else "all")),
+        "swin_remat_fallback": swin_fallback,
         "timings_s": [round(t, 3) for t in times],
         "timings_mean_s": round(float(np.mean(times)), 3),
         "timings_std_s": round(float(np.std(times)), 3),
