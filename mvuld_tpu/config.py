@@ -189,6 +189,15 @@ def default_config() -> CfgNode:
     #                                ~3x cheaper host fetch per improvement
     #                                over the TPU relay (the e2e 220M-param
     #                                full state is a ~2.6 GB transfer)
+    _C.TRAIN.BEST_FETCH = "sync"   # "async": a val-F1 improvement starts a
+    #                                copy_to_host_async of the snapshot leaves
+    #                                and returns immediately — the D2H overlaps
+    #                                the next epoch's compute, and the best
+    #                                checkpoint is written lazily (replaced by
+    #                                the next improvement, finalized at loop
+    #                                end). Costs one extra device-resident
+    #                                params(+opt) copy until replaced — keep
+    #                                "sync" when HBM is tight.
     _C.TRAIN.DATA_PATH = "datasets/total/train_balanced.txt"
     _C.TRAIN.LR_SCHEDULER = CfgNode()
     _C.TRAIN.LR_SCHEDULER.NAME = "cosine"

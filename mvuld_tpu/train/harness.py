@@ -72,7 +72,33 @@ def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
     # what OOMed the e2e production run — ~2.6 GB extra HBM for the
     # 220M-param tri-modal model. None means "fall back to final state".
     best_host = None
+    # TRAIN.BEST_FETCH="async": an improvement only STARTS the D2H copy
+    # (copy_to_host_async) and stashes device refs; the transfer overlaps
+    # the next epoch's compute and the blocking device_get + best-
+    # checkpoint write happen lazily — at the next improvement (which
+    # replaces it) or after the loop. Holds one extra device-resident copy
+    # of the snapshot leaves until replaced (params-only under
+    # BEST_SAVE="params"), so it trades HBM headroom for epoch wall time.
+    best_fetch_async = getattr(cfg.TRAIN, "BEST_FETCH", "sync") == "async"
+    best_save_full = getattr(cfg.TRAIN, "BEST_SAVE", "full") != "params"
+    pending_best = None            # (snapshot-leaves dict, epoch, f1)
     history = []
+
+    def _start_async_snapshot(state):
+        keep = {"params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state if best_save_full else None,
+                "step": int(state.step)}
+        for leaf in jax.tree_util.tree_leaves(keep):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        return keep
+
+    def _finish_snapshot(keep):
+        return {"params": jax.device_get(keep["params"]),
+                "opt_state": (jax.device_get(keep["opt_state"])
+                              if keep["opt_state"] is not None else None),
+                "batch_stats": jax.device_get(keep["batch_stats"]),
+                "step": keep["step"]}
 
     # Resume ladder (reference: MODEL.RESUME > BEST_RESUME > AUTO_RESUME,
     # mvuld/main.py:147-191): restore full state + epoch counter + best F1
@@ -150,25 +176,27 @@ def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
                     f"({time.time() - t_epoch:.1f}s)")
 
         if stopper.update(val_metrics["f1"], epoch):
-            # TRAIN.BEST_SAVE="params" skips the optimizer moments — the
-            # dominant 2/3 of the host fetch over the TPU relay; the best
-            # checkpoint then restores with fresh opt_state
-            # (restore_train_state keeps unknown fields from the incoming
-            # state), which only matters for resume-from-best, not eval.
-            full = getattr(cfg.TRAIN, "BEST_SAVE", "full") != "params"
-            best_host = {"params": jax.device_get(state.params),
-                         "opt_state": (jax.device_get(state.opt_state)
-                                       if full else None),
-                         "batch_stats": jax.device_get(state.batch_stats),
-                         "step": int(state.step)}
-            if save_best and output_dir:
-                # full state incl. optimizer (the reference saves model+
-                # optimizer+scheduler+epoch+best metric, utils.py:143-176)
-                save_checkpoint(output_dir, epoch,
-                                {**best_host,
-                                 "epoch": epoch,
-                                 "best_f1": val_metrics["f1"]},
-                                best=True)
+            if best_fetch_async:
+                # replace any in-flight snapshot — only the LAST best
+                # matters; its device refs drop here and free the HBM copy
+                pending_best = (_start_async_snapshot(state), epoch,
+                                val_metrics["f1"])
+            else:
+                # TRAIN.BEST_SAVE="params" skips the optimizer moments —
+                # the dominant 2/3 of the host fetch over the TPU relay;
+                # the best checkpoint then restores with fresh opt_state
+                # (restore_train_state keeps unknown fields from the
+                # incoming state), which only matters for resume-from-best,
+                # not eval.
+                best_host = _finish_snapshot(_start_async_snapshot(state))
+                if save_best and output_dir:
+                    # full state incl. optimizer (the reference saves model+
+                    # optimizer+scheduler+epoch+best metric, utils.py:143-176)
+                    save_checkpoint(output_dir, epoch,
+                                    {**best_host,
+                                     "epoch": epoch,
+                                     "best_f1": val_metrics["f1"]},
+                                    best=True)
         # periodic epoch checkpoint for AUTO_RESUME (reference: SAVE_FREQ,
         # save_checkpoint main.py:237-241) — full state so a killed run can
         # continue with its optimizer moments and epoch counter intact
@@ -185,6 +213,18 @@ def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
             logger.info(f"early stop at epoch {epoch} "
                         f"(best f1 {stopper.best:.4f} @ {stopper.best_epoch})")
             break
+
+    # Finalize a still-pending async best snapshot: complete the (already
+    # overlapped) D2H and write the best checkpoint the sync path would
+    # have written at improvement time.
+    if pending_best is not None:
+        keep, best_epoch, best_f1 = pending_best
+        best_host = _finish_snapshot(keep)
+        pending_best = None
+        if save_best and output_dir:
+            save_checkpoint(output_dir, best_epoch,
+                            {**best_host, "epoch": best_epoch,
+                             "best_f1": best_f1}, best=True)
 
     # Materialize the best state for the final test eval / caller. The
     # training state's device buffers are released first (its leaves are
