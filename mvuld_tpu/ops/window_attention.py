@@ -1095,40 +1095,53 @@ def _flat_bwd2_kernel_factory(GL: int, hd: int, ws: int, shift: int,
             qh16 = qh.astype(mxu_t)
             kh16 = kh.astype(mxu_t)
             s_cos = _dot(qh16, kh16, 1, 1)
-            # v2 softmax recompute: e as in the v1 kernel (static shift m
-            # from SMEM), but BOTH row reductions come from forward-saved /
-            # [N, hd]-cheap quantities instead of [N, N] VPU passes:
+            # v2 softmax recompute: BOTH row reductions come from forward-
+            # saved / [N, hd]-cheap quantities instead of [N, N] VPU passes:
             #   r  = 1/Σe  — saved by the forward (fp32, post-clamp)
             #   Σ_j dp_ij·p_ij = g_i·(Σ_j p_ij v_j) = g_i·o_i  — the
-            #   flash-attention identity, a rowsum over the SAVED output
-            # so ds = p·(dp − Σ dp·p) = e·(r·(dp − rowsum(g·o))).
-            # ([N,N] VPU passes vs v1: the Σe reduce and the dp·e
-            # multiply-reduce are gone — the bwd chain is now
-            # fma(s) / exp / (dp − t) / ·e·r / dbias+= / ds·s_cos.)
-            s = s_cos * scale + (bias_ref[gi].astype(jnp.float32)
-                                 - scale_ref[hg * GL + gi, 1])
+            #   flash-attention identity, a rowsum over the SAVED output.
+            # The normalization is applied in LOG space: p = exp(s − m +
+            # log r) materializes the softmax probabilities in the ONE exp
+            # pass (log r is an [N]-cheap row vector), instead of e =
+            # exp(s − m) followed by two [N, N] multiplies (·r into the ds
+            # chain, ·r into dv's operand). Log-space is also the more
+            # robust underflow path: rows whose e would flush to 0 keep
+            # their true (tiny) probabilities because the row offset is
+            # applied before exponentiation.
+            # so ds = p·(dp − Σ dp·p) = p·(dp − rowsum(g·o)).
+            # ([N,N] VPU passes vs v1: the Σe reduce, the dp·e
+            # multiply-reduce, the ·r rescale, and the ds·s_cos dscale
+            # reduce (see below) are gone — the bwd chain is now
+            # fma(s) / +logr−m / exp / ·(dp − t) / dbias+=.)
+            lrm = (jnp.log(rall[gi, :])
+                   - scale_ref[hg * GL + gi, 1])[:, None]    # [N, 1] cheap
+            s = s_cos * scale + bias_ref[gi].astype(jnp.float32) + lrm
             if mask is not None:
                 s = s + mask
-            e = jnp.exp(s)
-            r = rall[gi, :][:, None]             # [N, 1]
+            p = jnp.exp(s)                       # softmax probs, normalized
             t = jnp.sum(g * o, axis=-1, keepdims=True)   # [N, 1] cheap
-            # r·(dp − t) is bounded even for clamped (underflowed) rows:
-            # |t| ≤ max|dp| and e ≤ 1, as in the v1 kernel's note.
-            dp = _dot(g.astype(mxu_t), v.astype(mxu_t), 1, 1)
-            ds = e * (r * (dp - t))
+            g16 = g.astype(mxu_t)
+            dp = _dot(g16, v.astype(mxu_t), 1, 1)
+            ds = p * (dp - t)
 
             dbias_ref[gi] += ds.astype(dbias_ref.dtype)
-            dscale_ref[hg * GL + gi, 0] += jnp.sum(ds * s_cos)
 
             ds16 = ds.astype(mxu_t)
+            p16 = p.astype(mxu_t)
             dqh = _dot(ds16, kh16, 1, 0) * scale
+            # dscale = Σ_ij ds·s_cos = Σ_i qh_i·(ds·kh)_i = Σ(qh·dqh)/scale
+            # — the [N, 1] rowsum is ALREADY needed for dq's normalization
+            # backward below, so the dscale contribution is a free scalar
+            # instead of an [N, N] multiply + full reduce.
+            rowq = jnp.sum(qh * dqh, axis=-1, keepdims=True)
+            dscale_ref[hg * GL + gi, 0] += jnp.sum(rowq) / scale
             if tn_dots:
-                dv = _dot((r * g).astype(mxu_t).T, e.astype(mxu_t), 1, 0).T
+                dv = _dot(g16.T, p16, 1, 0).T
                 dkh = _dot(qh16.T, ds16, 1, 0).T * scale
             else:
-                dv = _dot(e.astype(mxu_t), (r * g).astype(mxu_t), 0, 0)
+                dv = _dot(p16, g16, 0, 0)                    # pᵀ·g
                 dkh = _dot(ds16, qh16, 0, 0) * scale         # dsᵀ·qh
-            dq = (dqh - qh * jnp.sum(qh * dqh, axis=-1, keepdims=True)) * qn
+            dq = (dqh - qh * rowq) * qn
             dk = (dkh - kh * jnp.sum(kh * dkh, axis=-1, keepdims=True)) * kn
             dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
             dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
@@ -1148,9 +1161,13 @@ def pallas_window_attention_flat_bwd2(qkv, bias, logit_scale, o, r, g,
     """v2 flat backward: consumes the forward output ``o`` [Bn, N, C] and
     the reciprocal row sums ``r`` [NB, Bn, GL, N] (both forward residuals,
     checkpoint-named "attn_out"/"attn_rowsum" for the remat policy) to drop
-    two of the [N, N] VPU passes the v1 kernel recomputes — see the kernel
-    note. dq/dk/dv are written in ``grad_dtype`` (default: qkv.dtype, so
-    bf16 training never round-trips fp32 gradients through HBM)."""
+    four of the [N, N] VPU passes the v1 kernel recomputes: the Σe reduce
+    (saved r), the dp·p multiply-reduce (rowsum(g·o) identity), the ·r
+    rescale (log-space normalization folds r into the exp argument), and
+    the ds·s_cos dscale reduce (Σ ds·s_cos ≡ Σ qh·dqh / scale, a rowsum dq
+    already needs) — see the kernel note. dq/dk/dv are written in
+    ``grad_dtype`` (default: qkv.dtype, so bf16 training never round-trips
+    fp32 gradients through HBM)."""
     Bn, N, threeC = qkv.shape
     C = threeC // 3
     H = bias.shape[0]
