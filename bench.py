@@ -182,9 +182,8 @@ def main() -> None:
     try:
         state, metrics = multi_step(state, superbatch, rng)  # compile+warmup
     except Exception as e:                    # noqa: BLE001
-        if not any(s in str(e) for s in ("RESOURCE_EXHAUSTED",
-                                         "Ran out of memory",
-                                         "remote_compile")):
+        from mvuld_tpu.utils.oom import is_oom_shaped
+        if not is_oom_shaped(e):
             raise
         # HBM headroom shifted: retry with all-stage remat (strictly less
         # activation memory than the selective default) so the headline
@@ -445,14 +444,11 @@ def _e2e_bench(jax, jnp, np, rng):
     try:
         state, m = step(state, sb, rng)       # compile + warmup
     except Exception as e:                    # noqa: BLE001
-        # the axon relay wraps compile-time HBM OOM as an opaque
-        # "INTERNAL: ...remote_compile: HTTP 500" (the "Ran out of memory"
-        # text stays in the relay's stderr, not the exception) — treat any
-        # remote-compile failure as OOM-shaped and retry conservatively;
-        # a real compile bug fails the retry too and raises from there
-        if not any(s in str(e) for s in ("RESOURCE_EXHAUSTED",
-                                         "Ran out of memory",
-                                         "remote_compile")):
+        # treat relay-wrapped compile OOMs as OOM-shaped too (see
+        # mvuld_tpu/utils/oom.py) and retry conservatively; a real compile
+        # bug fails the retry too and raises from there
+        from mvuld_tpu.utils.oom import is_oom_shaped
+        if not is_oom_shaped(e):
             raise
         # HBM headroom shifted (e.g. other device residents): fall back to
         # the conservative remat config (every swin stage + the text
