@@ -52,6 +52,15 @@ def _mxu_bf16_default(mxu_bf16: bool) -> bool:
     return mxu_bf16 or os.environ.get("MVULD_ATTN_MXU_BF16", "0") == "1"
 
 
+def _mask_branch_default() -> bool:
+    """MVULD_ATTN_MASK_BRANCH=1 duplicates the shifted kernels' per-head
+    chain under a boundary-window branch (pl.when on the window id): the
+    interior (nWh-1)·(nWw-1) of nWh·nWw windows — 225/256 at 448² — skip
+    the region-mask synthesis and the [N, N] mask add entirely instead of
+    adding an all-zero mask (perf A/B knob; same math)."""
+    return os.environ.get("MVULD_ATTN_MASK_BRANCH", "0") == "1"
+
+
 def _kernel_masked(q_ref, k_ref, v_ref, bias_ref, scale_ref, mask_ref, o_ref):
     _attn_body(q_ref, k_ref, v_ref, bias_ref, scale_ref, o_ref,
                mask=mask_ref[0])
@@ -766,56 +775,79 @@ def _check_flat_geometry(Bn, N, C, H, ws, bias_shape, shift, nWh, nWw):
 
 def _flat_fwd_kernel_factory(GL: int, hd: int, ws: int, shift: int,
                              nWh: int, nWw: int, mxu_bf16: bool,
-                             emit_rowsum: bool = False):
+                             emit_rowsum: bool = False,
+                             mask_branch: bool = False):
     N = ws * ws
     mxu_t = jnp.bfloat16 if mxu_bf16 else jnp.float32
 
     def flat_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, scale_ref, o_ref,
                         *maybe_r_ref):
         hg = pl.program_id(0)
+
+        def body(mask):
+            rows = []
+            for gi in range(GL):        # static unroll: GL is 4 (or tiny H)
+                sl = slice(gi * hd, (gi + 1) * hd)
+                q = q_ref[0, :, sl].astype(jnp.float32)
+                k = k_ref[0, :, sl].astype(jnp.float32)
+                v = v_ref[0, :, sl]
+                q = q * jax.lax.rsqrt(
+                    jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
+                k = k * jax.lax.rsqrt(
+                    jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
+                s = _dot(q.astype(mxu_t), k.astype(mxu_t), 1, 1) \
+                    * scale_ref[hg * GL + gi, 0] \
+                    + bias_ref[gi].astype(jnp.float32)
+                if mask is not None:
+                    s = s + mask
+                # unnormalized softmax with a STATIC per-head shift instead
+                # of the per-row max: logits are bounded above by m = scale
+                # + max(bias) (cosine sim ≤ 1, mask ≤ 0; m precomputed
+                # outside and read from SMEM), so exp(s - m) cannot
+                # overflow. The row max CAN fall below m by up to 2·scale +
+                # range(bias) (q_i and k_i are different projections, so
+                # cos(q_i, k_i) is only in [-1, 1]); with the trained
+                # logit_scale clamped at exp≈100 that exceeds the fp32 exp
+                # underflow (~87), so the row sum is clamped to 1e-30 below
+                # — rows that underflow saturate instead of 0/0 NaN. Saves
+                # the [N, N] max-reduce VPU pass; dividing the [N, hd]
+                # OUTPUT by the row sums (not the [N, N] probabilities)
+                # saves another (≡ softmax(s) @ v up to rounding).
+                e = jnp.exp(s - scale_ref[hg * GL + gi, 1])
+                out = _dot(e.astype(mxu_t), v.astype(mxu_t), 1, 0)
+                denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+                out = out / denom
+                o_ref[0, :, sl] = out.astype(o_ref.dtype)
+                if emit_rowsum:
+                    rows.append((1.0 / denom)[:, 0])
+            if emit_rowsum:
+                # reciprocal row sums for the v2 backward: [GL, N] per block
+                # — N stays the lane (128) dim so HBM tiling pads GL→8
+                # sublanes instead of GL→128 lanes (a [.., N, GL] layout
+                # would inflate the saved residual ~32× at GL=4)
+                maybe_r_ref[0][0, 0] = jnp.stack(rows, axis=0)
+
         if shift > 0:
             wid = pl.program_id(1) % (nWh * nWw)
-            mask = _window_region_mask(ws, shift, wid // nWw == nWh - 1,
-                                       wid % nWw == nWw - 1)
+            last_i = wid // nWw == nWh - 1
+            last_j = wid % nWw == nWw - 1
+            if mask_branch:
+                # interior windows ((nWh-1)(nWw-1) of nWh·nWw) get an
+                # all-zero mask — branch on the window id so they skip the
+                # mask synthesis and the [N, N] add entirely
+                boundary = jnp.logical_or(last_i, last_j)
+
+                @pl.when(boundary)
+                def _():
+                    body(_window_region_mask(ws, shift, last_i, last_j))
+
+                @pl.when(jnp.logical_not(boundary))
+                def _():
+                    body(None)
+            else:
+                body(_window_region_mask(ws, shift, last_i, last_j))
         else:
-            mask = None
-        rows = []
-        for gi in range(GL):            # static unroll: GL is 4 (or tiny H)
-            sl = slice(gi * hd, (gi + 1) * hd)
-            q = q_ref[0, :, sl].astype(jnp.float32)
-            k = k_ref[0, :, sl].astype(jnp.float32)
-            v = v_ref[0, :, sl]
-            q = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
-            k = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
-            s = _dot(q.astype(mxu_t), k.astype(mxu_t), 1, 1) \
-                * scale_ref[hg * GL + gi, 0] + bias_ref[gi].astype(jnp.float32)
-            if mask is not None:
-                s = s + mask
-            # unnormalized softmax with a STATIC per-head shift instead of
-            # the per-row max: logits are bounded above by m = scale +
-            # max(bias) (cosine sim ≤ 1, mask ≤ 0; m precomputed outside and
-            # read from SMEM), so exp(s - m) cannot overflow. The row max CAN
-            # fall below m by up to 2·scale + range(bias) (q_i and k_i are
-            # different projections, so cos(q_i, k_i) is only in [-1, 1]);
-            # with the trained logit_scale clamped at exp≈100 that exceeds
-            # the fp32 exp underflow (~87), so the row sum is clamped to
-            # 1e-30 below — rows that underflow saturate instead of 0/0 NaN.
-            # Saves the [N, N] max-reduce VPU pass; dividing the [N, hd]
-            # OUTPUT by the row sums (not the [N, N] probabilities) saves
-            # another (≡ softmax(s) @ v up to rounding).
-            e = jnp.exp(s - scale_ref[hg * GL + gi, 1])
-            out = _dot(e.astype(mxu_t), v.astype(mxu_t), 1, 0)
-            denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
-            out = out / denom
-            o_ref[0, :, sl] = out.astype(o_ref.dtype)
-            if emit_rowsum:
-                rows.append((1.0 / denom)[:, 0])
-        if emit_rowsum:
-            # reciprocal row sums for the v2 backward: [GL, N] per block —
-            # N stays the lane (128) dim so HBM tiling pads GL→8 sublanes
-            # instead of GL→128 lanes (a [.., N, GL] layout would inflate
-            # the saved residual ~32× at GL=4)
-            maybe_r_ref[0][0, 0] = jnp.stack(rows, axis=0)
+            body(None)
         return
 
     return flat_fwd_kernel
@@ -845,7 +877,8 @@ def pallas_window_attention_flat(qkv, bias, logit_scale, shift: int = 0,
                                  interpret: bool = False,
                                  mxu_bf16: bool = False,
                                  return_rowsum: bool = False,
-                                 out_dtype=None):
+                                 out_dtype=None,
+                                 mask_branch: Optional[bool] = None):
     """Flat-layout fused forward.
 
     qkv: [Bn, N, 3C] (windows already partitioned; batch-major window order
@@ -887,9 +920,12 @@ def pallas_window_attention_flat(qkv, bias, logit_scale, shift: int = 0,
                                   memory_space=pltpu.VMEM))
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((NB, Bn, GL, N), jnp.float32))
+    if mask_branch is None:
+        mask_branch = _mask_branch_default()
     return pl.pallas_call(
         _flat_fwd_kernel_factory(GL, hd, ws, shift, nWh, nWw, mxu_bf16,
-                                 emit_rowsum=return_rowsum),
+                                 emit_rowsum=return_rowsum,
+                                 mask_branch=mask_branch),
         grid=(NB, Bn),
         in_specs=[spec(0), spec(NB), spec(2 * NB), bias_spec, scale_spec],
         out_specs=out_specs,
@@ -1056,7 +1092,8 @@ def pallas_window_attention_flat_bwd(qkv, bias, logit_scale, g,
 
 def _flat_bwd2_kernel_factory(GL: int, hd: int, ws: int, shift: int,
                               nWh: int, nWw: int, mxu_bf16: bool,
-                              tn_dots: bool = False):
+                              tn_dots: bool = False,
+                              mask_branch: bool = False):
     N = ws * ws
     mxu_t = jnp.bfloat16 if mxu_bf16 else jnp.float32
 
@@ -1065,12 +1102,6 @@ def _flat_bwd2_kernel_factory(GL: int, hd: int, ws: int, shift: int,
                          dq_ref, dk_ref, dv_ref, dbias_ref, dscale_ref):
         hg = pl.program_id(0)
         b = pl.program_id(1)
-        if shift > 0:
-            wid = b % (nWh * nWw)
-            mask = _window_region_mask(ws, shift, wid // nWw == nWh - 1,
-                                       wid % nWw == nWw - 1)
-        else:
-            mask = None
 
         @pl.when(b == 0)
         def _():
@@ -1079,7 +1110,44 @@ def _flat_bwd2_kernel_factory(GL: int, hd: int, ws: int, shift: int,
                 dscale_ref[hg * GL + gz, 0] = 0.0
 
         rall = r_ref[0, 0]                       # [GL, N] fp32 reciprocals
-        for gi in range(GL):            # static unroll
+
+        def body(mask):
+            _flat_bwd2_body(GL, hd, mxu_t, tn_dots, hg, rall, mask,
+                            q_ref, k_ref, v_ref, bias_ref, scale_ref, g_ref,
+                            o_ref, dq_ref, dk_ref, dv_ref, dbias_ref,
+                            dscale_ref)
+
+        if shift > 0:
+            wid = b % (nWh * nWw)
+            last_i = wid // nWw == nWh - 1
+            last_j = wid % nWw == nWw - 1
+            if mask_branch:
+                # see _flat_fwd_kernel_factory: interior windows skip the
+                # all-zero mask synthesis + [N, N] add via a pl.when branch
+                boundary = jnp.logical_or(last_i, last_j)
+
+                @pl.when(boundary)
+                def _():
+                    body(_window_region_mask(ws, shift, last_i, last_j))
+
+                @pl.when(jnp.logical_not(boundary))
+                def _():
+                    body(None)
+            else:
+                body(_window_region_mask(ws, shift, last_i, last_j))
+        else:
+            body(None)
+        return
+
+    return flat_bwd2_kernel
+
+
+def _flat_bwd2_body(GL, hd, mxu_t, tn_dots, hg, rall, mask,
+                    q_ref, k_ref, v_ref, bias_ref, scale_ref, g_ref,
+                    o_ref, dq_ref, dk_ref, dv_ref, dbias_ref, dscale_ref):
+    """Per-head-group chain of the v2 backward (shared by the masked /
+    unmasked boundary branches of _flat_bwd2_kernel_factory)."""
+    for gi in range(GL):                # static unroll
             sl = slice(gi * hd, (gi + 1) * hd)
             q = q_ref[0, :, sl].astype(jnp.float32)
             k = k_ref[0, :, sl].astype(jnp.float32)
@@ -1146,9 +1214,6 @@ def _flat_bwd2_kernel_factory(GL: int, hd: int, ws: int, shift: int,
             dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
             dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
             dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
-        return
-
-    return flat_bwd2_kernel
 
 
 def pallas_window_attention_flat_bwd2(qkv, bias, logit_scale, o, r, g,
@@ -1157,7 +1222,8 @@ def pallas_window_attention_flat_bwd2(qkv, bias, logit_scale, o, r, g,
                                       interpret: bool = False,
                                       mxu_bf16: bool = False,
                                       tn_dots: bool = False,
-                                      grad_dtype=None):
+                                      grad_dtype=None,
+                                      mask_branch: Optional[bool] = None):
     """v2 flat backward: consumes the forward output ``o`` [Bn, N, C] and
     the reciprocal row sums ``r`` [NB, Bn, GL, N] (both forward residuals,
     checkpoint-named "attn_out"/"attn_rowsum" for the remat policy) to drop
@@ -1206,9 +1272,11 @@ def pallas_window_attention_flat_bwd2(qkv, bias, logit_scale, o, r, g,
         pl.BlockSpec((H, 1), lambda hg, b: (0, 0),
                      memory_space=pltpu.SMEM),
     )
+    if mask_branch is None:
+        mask_branch = _mask_branch_default()
     dq, dk, dv, dbias, dscale = pl.pallas_call(
         _flat_bwd2_kernel_factory(GL, hd, ws, shift, nWh, nWw, mxu_bf16,
-                                  tn_dots=tn_dots),
+                                  tn_dots=tn_dots, mask_branch=mask_branch),
         grid=(NB, Bn),
         in_specs=[spec(0), spec(NB), spec(2 * NB), bias_spec, scale_spec,
                   gout_spec, gout_spec, r_spec],

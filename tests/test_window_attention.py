@@ -431,3 +431,38 @@ def test_model_pallas_bf16_path_close():
         gp = jax.grad(loss_p)(variables["params"])   # must trace + be finite
         for leaf in jax.tree_util.tree_leaves(gp):
             assert np.isfinite(np.asarray(leaf, np.float32)).all()
+
+
+def test_flat_mask_branch_parity(monkeypatch):
+    """MVULD_ATTN_MASK_BRANCH=1 (perf A/B knob): interior windows of a
+    shifted grid take the no-mask pl.when branch — results must be
+    IDENTICAL to the unconditional-mask kernels on every window (the 2x2
+    grid has one interior + three boundary windows, so both branches
+    execute)."""
+    import mvuld_tpu.ops.window_attention as wa
+
+    qkv, bias, scale = _flat_inputs(seed=13)
+    mask = shifted_window_mask(8, 8, 4, 2)      # nWh = nWw = 2
+
+    # forward: explicit param, against the XLA reference
+    want = np.asarray(wa.window_attention_flat_reference(
+        jnp.asarray(qkv), jnp.asarray(bias), jnp.asarray(scale), mask))
+    got = np.asarray(wa.pallas_window_attention_flat(
+        jnp.asarray(qkv), jnp.asarray(bias), jnp.asarray(scale), shift=2,
+        nWh=2, nWw=2, interpret=True, mask_branch=True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    # gradients: env knob through the full autodiff path (v2 backward)
+    args = tuple(map(jnp.asarray, (qkv, bias, scale)))
+
+    def loss(a):
+        return (wa.window_attention_flat(*a, shift=2, nWh=2, nWw=2) ** 2).sum()
+
+    with _interpret_flat():
+        monkeypatch.setenv("MVULD_ATTN_MASK_BRANCH", "0")
+        base = jax.grad(loss)(args)
+        monkeypatch.setenv("MVULD_ATTN_MASK_BRANCH", "1")
+        branched = jax.grad(loss)(args)
+    for a, b in zip(base, branched):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
