@@ -226,8 +226,116 @@ _TEMPLATES: List[Tuple[str, str]] = [
 ]
 
 
-def generate_function(rng: random.Random) -> Tuple[str, int]:
+# ---- hard mode: value-binding vulnerabilities --------------------------
+#
+# In the default templates the vulnerable/fixed twins differ in SURFACE
+# tokens (strcpy vs strncpy, the presence of a guard statement), so any
+# bag-of-local-patterns detector keys the label — measured on the default
+# 600-function corpus: Devign/ReVeal/IVDetect reach 0.97–1.00 test F1
+# (NOTES_r4.md "Baseline detectors"). Hard mode removes every surface key:
+# each family emits the IDENTICAL statement sequence for both classes
+# (same CPG shape, same API calls, operators and literals drawn from the
+# same pools), and safety is a RELATION between literals at distant sites
+# — guard bound vs declared size, loop operator vs bound vs array extent,
+# index reach vs allocation. The same operator/literal is safe in one
+# sampled function and vulnerable in another (e.g. `len > n` as a memcpy
+# guard is safe, `idx > n` as an index guard is off-by-one vulnerable),
+# so a detector must bind values across statements to label correctly.
+
+
+def _hard_function(rng: random.Random) -> Tuple[str, int]:
+    v = _mk(rng)
+    # sizes come from a WIDE pool (multiples of 8 in [24, 480]) instead of
+    # the default mode's five canonical sizes: with a small pool the
+    # (decl, bound) literal pairs are a finite set a detector can memorize
+    # from the train split; with ~58 sizes most test-split pairs are
+    # unseen, so only the size relation itself generalizes
+    n = 8 * rng.randrange(3, 61)
+    big = 2 * n
+    v["n"], v["big"] = n, big
+    fam = rng.randrange(5)
+    if fam == 0:
+        # guarded memcpy: accepted len must not exceed the declared size
+        op = rng.choice([">", ">="])
+        bound = rng.choice([n, big])
+        max_len = bound if op == ">" else bound - 1
+        vul = int(max_len > n)
+        src = """int {fn}(char *{src}, int len)
+{{
+    {t} {buf}[{n}];
+    if (len {op} {bound})
+        return -1;
+    memcpy({buf}, {src}, len);
+    {buf}[0] = {buf}[0] + 1;
+    return {buf}[0];
+}}""".format(op=op, bound=bound, **v)
+    elif fam == 1:
+        # loop bound: operator AND bound must respect the array extent
+        op = rng.choice(["<", "<="])
+        bound = rng.choice([n, n - 1, big, big - 1])
+        max_idx = bound - 1 if op == "<" else bound
+        vul = int(max_idx > n - 1)
+        src = """void {fn}(int *{src}, int count)
+{{
+    int {buf}[{n}];
+    int {i};
+    for ({i} = 0; {i} {op} {bound}; {i}++) {{
+        {buf}[{i}] = {src}[{i} % count];
+    }}
+}}""".format(op=op, bound=bound, **v)
+    elif fam == 2:
+        # index guard: the REJECTING comparison must exclude idx == n
+        # (note: `len > n` in family 0 is safe; `idx > n` here is not)
+        op = rng.choice([">", ">="])
+        bound = rng.choice([n - 1, n, big])
+        accepted_max = bound - 1 if op == ">=" else bound
+        vul = int(accepted_max > n - 1)
+        src = """int {fn}(int idx, int *{src})
+{{
+    int {buf}[{n}];
+    if (idx < 0 || idx {op} {bound})
+        return -1;
+    {buf}[idx] = {src}[0];
+    return {buf}[idx];
+}}""".format(op=op, bound=bound, **v)
+    elif fam == 3:
+        # strncpy: copy length and terminator index vs the declared size
+        decl = rng.choice([n, big])
+        bound = rng.choice([n, big])
+        term = rng.choice([n - 1, big - 1])
+        vul = int(bound > decl or term > decl - 1)
+        src = """int {fn}(const char *{src})
+{{
+    {t} {buf}[{decl}];
+    strncpy({buf}, {src}, {bound});
+    {buf}[{term}] = 0;
+    printf("%s", {buf});
+    return 0;
+}}""".format(decl=decl, bound=bound, term=term, **v)
+    else:
+        # heap write: index reach vs allocation size
+        alloc = rng.choice([n, big])
+        idx = rng.choice([n - 1, n, big - 1])
+        vul = int(idx > alloc - 1)
+        src = """int {fn}(int count)
+{{
+    int *{buf};
+    {buf} = malloc({alloc} * sizeof(int));
+    if ({buf} == 0)
+        return -1;
+    {buf}[{idx}] = 7;
+    {buf}[0] = {buf}[{idx}] + count;
+    free({buf});
+    return 0;
+}}""".format(alloc=alloc, idx=idx, **v)
+    return src, vul
+
+
+def generate_function(rng: random.Random,
+                      hard: bool = False) -> Tuple[str, int]:
     """Return (source, vul_label)."""
+    if hard:
+        return _hard_function(rng)
     vul_body, fix_body = _TEMPLATES[rng.randrange(len(_TEMPLATES))]
     v = _mk(rng)
     if rng.random() < 0.5:
@@ -235,18 +343,20 @@ def generate_function(rng: random.Random) -> Tuple[str, int]:
     return fix_body.format(**v), 0
 
 
-def generate_dataset(n: int, seed: int = 42, vul_ratio: float | None = None):
+def generate_dataset(n: int, seed: int = 42, vul_ratio: float | None = None,
+                     hard: bool = False):
     """Generate a DataFrame with columns _id, func_before, vul.
 
     With ``vul_ratio`` set, resamples labels to that positive rate (the
     Big-Vul natural rate is ≈4%; the reference balances train 1:1,
-    getImages.py rebalanceData:80-99).
+    getImages.py rebalanceData:80-99). With ``hard`` the corpus uses the
+    value-binding families above instead of the token-separable twins.
     """
     import pandas as pd
     rng = random.Random(seed)
     rows: List[Dict] = []
     while len(rows) < n:
-        src, vul = generate_function(rng)
+        src, vul = generate_function(rng, hard=hard)
         if vul_ratio is not None:
             want_vul = rng.random() < vul_ratio
             if bool(vul) != want_vul:

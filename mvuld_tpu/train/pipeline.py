@@ -68,6 +68,9 @@ def main(argv=None) -> dict:
     enable_compile_cache()  # persistent XLA cache: relay compiles are 15-40 min cold
     parser = argparse.ArgumentParser()
     parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--hard", action="store_true",
+                        help="value-binding synthetic corpus "
+                             "(tools/synthetic.py hard mode)")
     parser.add_argument("--data", default=None)
     parser.add_argument("--out", required=True)
     parser.add_argument("--arch", default="multi_defect_new_gcn")
@@ -114,7 +117,8 @@ def main(argv=None) -> dict:
                  "--opts", *common_opts,
                  "TRAIN.EPOCHS", str(args.text_epochs)]
     if args.synthetic:
-        text_args = ["--synthetic", str(args.synthetic)] + text_args
+        text_args = ["--synthetic", str(args.synthetic)] + \
+            (["--hard"] if args.hard else []) + text_args
     else:
         text_args = ["--data", args.data] + text_args
     text_res = text_main(text_args)
@@ -171,7 +175,9 @@ def main(argv=None) -> dict:
     if args.synthetic:
         from mvuld_tpu.tools.dataset import prepare_corpus
         from mvuld_tpu.tools.synthetic import generate_dataset
-        df = prepare_corpus(generate_dataset(args.synthetic, seed=cfg.SEED or 42))
+        df = prepare_corpus(generate_dataset(args.synthetic,
+                                             seed=cfg.SEED or 42,
+                                             hard=args.hard))
     else:
         import pandas as pd
         df = pd.read_pickle(args.data)
@@ -193,7 +199,8 @@ def main(argv=None) -> dict:
             if args.swin_ckpt and args.swin_ckpt.endswith((".pth", ".pt", ".bin")):
                 swin_args += ["--pretrained", args.swin_ckpt]
             if args.synthetic:
-                swin_args = ["--synthetic", str(args.synthetic)] + swin_args
+                swin_args = ["--synthetic", str(args.synthetic)] + \
+                    (["--hard"] if args.hard else []) + swin_args
             else:
                 swin_args = ["--data", args.data] + swin_args
             swin_args += ["--opts", *common_opts,

@@ -217,6 +217,9 @@ def main(argv=None) -> dict:
     parser.add_argument("--model", choices=["devign", "reveal", "ivdetect"],
                         required=True)
     parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--hard", action="store_true",
+                        help="value-binding synthetic corpus (see "
+                             "tools/synthetic.py hard mode)")
     parser.add_argument("--data", default=None)
     parser.add_argument("--epochs", type=int, default=10)
     parser.add_argument("--batch-size", type=int, default=16)
@@ -242,7 +245,9 @@ def main(argv=None) -> dict:
     if args.synthetic:
         from mvuld_tpu.tools.dataset import prepare_corpus
         from mvuld_tpu.tools.synthetic import generate_dataset
-        df = prepare_corpus(generate_dataset(args.synthetic, seed=args.seed or 42))
+        df = prepare_corpus(generate_dataset(args.synthetic,
+                                             seed=args.seed or 42,
+                                             hard=args.hard))
     else:
         import pandas as pd
         df = pd.read_pickle(args.data)

@@ -49,6 +49,9 @@ def main(argv=None) -> dict:
     parser.add_argument("--cache-dir", default=None)
     parser.add_argument("--data", default=None, help="corpus pickle")
     parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--hard", action="store_true",
+                        help="value-binding synthetic corpus "
+                             "(tools/synthetic.py hard mode)")
     parser.add_argument("--arch", default=None)
     parser.add_argument("--batch-size", dest="batch_size", type=int)
     parser.add_argument("--test", action="store_true")
@@ -86,7 +89,7 @@ def main(argv=None) -> dict:
         if args.synthetic:
             from mvuld_tpu.tools.dataset import prepare_corpus
             from mvuld_tpu.tools.synthetic import generate_dataset
-            df = prepare_corpus(generate_dataset(args.synthetic,
+            df = prepare_corpus(generate_dataset(args.synthetic, hard=args.hard,
                                                  seed=cfg.SEED or 42))
         else:
             if args.data is None:

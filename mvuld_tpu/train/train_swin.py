@@ -59,6 +59,9 @@ def main(argv=None) -> dict:
     parser.add_argument("--cfg", default=None)
     parser.add_argument("--data", default=None)
     parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--hard", action="store_true",
+                        help="value-binding synthetic corpus "
+                             "(tools/synthetic.py hard mode)")
     parser.add_argument("--batch-size", dest="batch_size", type=int)
     parser.add_argument("--pretrained", default=None)
     parser.add_argument("--test", action="store_true")
@@ -144,7 +147,9 @@ def main(argv=None) -> dict:
     if args.synthetic:
         from mvuld_tpu.tools.dataset import prepare_corpus
         from mvuld_tpu.tools.synthetic import generate_dataset
-        df = prepare_corpus(generate_dataset(args.synthetic, seed=cfg.SEED or 42))
+        df = prepare_corpus(generate_dataset(args.synthetic,
+                                             seed=cfg.SEED or 42,
+                                             hard=args.hard))
     else:
         import pandas as pd
         df = pd.read_pickle(args.data)
