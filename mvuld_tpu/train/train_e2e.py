@@ -114,6 +114,11 @@ def main(argv=None) -> dict:
              "rounded up to 128), 0 disables packing (encode every slot)")
     parser.add_argument("--output", default=None)
     parser.add_argument("--opts", nargs="+", default=None)
+    parser.add_argument(
+        "--cache-only", dest="cache_only", action="store_true",
+        help="build the corpus cache (renders, token ids, graph arrays) and "
+             "tokenizer, then exit without training — lets the host-side "
+             "corpus prep run on CPU while the chip is busy")
     args = parser.parse_args(argv)
 
     import jax
@@ -151,6 +156,10 @@ def main(argv=None) -> dict:
     cache = build_e2e_cache(df, cfg, tok,
                             os.path.join(cfg.OUTPUT, "cache", "e2e.npz"),
                             cfg.DATA.IMG_SIZE, logger)
+    if args.cache_only:
+        logger.info("cache-only: corpus cache + tokenizer written; exiting")
+        return {"cache_only": True, "n_functions": len(df),
+                "output": cfg.OUTPUT}
     datasets = {}
     for part in ("train", "val", "test"):
         sel = np.asarray(cache["part"]) == part

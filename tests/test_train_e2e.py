@@ -51,6 +51,26 @@ def test_train_e2e_synthetic_packed(tmp_path):
     assert all(np.isfinite(h["f1"]) for h in res["history"])
 
 
+def test_train_e2e_cache_only(tmp_path):
+    """--cache-only builds the corpus cache + tokenizer and exits without
+    training; a follow-up full run must REUSE the cache (host corpus prep
+    can run on CPU while the chip is busy)."""
+    import os
+    from mvuld_tpu.train.train_e2e import main
+    out = str(tmp_path / "run")
+    res = main(["--synthetic", "24", "--output", out, "--batch-size", "8",
+                "--cache-only", "--opts", *_tiny_opts()])
+    assert res["cache_only"] and res["n_functions"] == 24
+    cache_path = os.path.join(res["output"], "cache", "e2e.npz")
+    tok_path = os.path.join(res["output"], "tokenizer.json")
+    assert os.path.exists(cache_path) and os.path.exists(tok_path)
+    mtime = os.path.getmtime(cache_path)
+    res2 = main(["--synthetic", "24", "--output", out, "--batch-size", "8",
+                 "--opts", *_tiny_opts(), "TRAIN.EPOCHS", "1"])
+    assert os.path.getmtime(cache_path) == mtime, "cache was rebuilt"
+    assert np.isfinite(res2["best_f1"])
+
+
 def test_train_e2e_capacity_flag_matches_auto(tmp_path):
     """--node-capacity 0 (unpacked) must produce the same first-epoch val
     metrics as an explicit capacity that covers every valid line — the
