@@ -50,3 +50,47 @@ def test_default_mode_is_token_separable():
 def test_hard_mode_defeats_token_probe():
     # measured 0.59 vs 0.525 base rate; 0.72 leaves seed margin
     assert _probe_accuracy(hard=True) <= 0.72
+
+
+def _oracle_label(src: str):
+    """Re-derive the vul label from the SOURCE TEXT alone by extracting the
+    literal relation each hard family encodes (mirrors _hard_function's
+    rules without touching the generator's internals)."""
+    import re
+
+    decl = re.search(r"\w+ \w+\[(\d+)\];", src)
+    if "memcpy" in src:                       # fam 0: guarded memcpy
+        n = int(decl.group(1))
+        op, bound = re.search(r"if \(len (>=|>) (\d+)\)", src).groups()
+        max_len = int(bound) if op == ">" else int(bound) - 1
+        return int(max_len > n)
+    if "for (" in src:                        # fam 1: loop bound
+        n = int(decl.group(1))
+        op, bound = re.search(r"; \w+ (<=|<) (\d+);", src).groups()
+        max_idx = int(bound) - 1 if op == "<" else int(bound)
+        return int(max_idx > n - 1)
+    if "idx" in src:                          # fam 2: index guard
+        n = int(decl.group(1))
+        op, bound = re.search(r"\|\| idx (>=|>) (\d+)\)", src).groups()
+        accepted_max = int(bound) - 1 if op == ">=" else int(bound)
+        return int(accepted_max > n - 1)
+    if "strncpy" in src:                      # fam 3: copy len + terminator
+        d = int(decl.group(1))
+        bound = int(re.search(r"strncpy\(\w+, \w+, (\d+)\)", src).group(1))
+        term = int(re.search(r"\w+\[(\d+)\] = 0;", src).group(1))
+        return int(bound > d or term > d - 1)
+    if "malloc" in src:                       # fam 4: heap index reach
+        alloc = int(re.search(r"malloc\((\d+) \* sizeof", src).group(1))
+        idx = int(re.search(r"\w+\[(\d+)\] = 7;", src).group(1))
+        return int(idx > alloc - 1)
+    raise AssertionError(f"unrecognized hard family:\n{src}")
+
+
+def test_hard_labels_recoverable_by_relation_oracle():
+    """The hard corpus is SOLVABLE: every label is a deterministic function
+    of literals present in the text (zero label noise). A detector at
+    chance (NOTES_r4 hard-600 table) therefore reflects representation /
+    sample-size limits, not a broken corpus."""
+    df = generate_dataset(500, seed=11, hard=True)
+    preds = [_oracle_label(s) for s in df.func_before.tolist()]
+    assert (np.asarray(preds) == df.vul.values).all()
