@@ -26,12 +26,25 @@ def build_e2e_cache(df, cfg, tok, cache_path: str, img_size: int, logger=None):
     from mvuld_tpu.tools.render import load_norm_pos
     from mvuld_tpu.train.precompute import render_corpus
 
+    M, T, Tn = cfg.DATA.MAX_NODES, cfg.DATA.FUNC_TOKENS, cfg.DATA.NODE_TOKENS
     if os.path.exists(cache_path):
-        return dict(np.load(cache_path, allow_pickle=True))
+        arrs = dict(np.load(cache_path, allow_pickle=True))
+        # the cache file is keyed by output dir only, so a config change
+        # (IMG_SIZE/MAX_NODES/token budgets) between runs sharing an output
+        # dir must invalidate it — a stale 384px cache fed to a 448px model
+        # fails deep inside the jitted step with a reshape error otherwise
+        if (arrs["image"].shape[1:3] == (img_size, img_size)
+                and arrs["node_ids"].shape[1:] == (M, Tn)
+                and arrs["func_ids"].shape[1] == T):
+            return arrs
+        if logger:
+            logger.warning(
+                f"e2e cache dims {arrs['image'].shape[1]}px/"
+                f"{arrs['node_ids'].shape[1:]} != config "
+                f"{img_size}px/({M}, {Tn}) — rebuilding {cache_path}")
     img_dir = os.path.join(os.path.dirname(cache_path), "imgs")
     pos_dir = os.path.join(os.path.dirname(cache_path), "pos")
     paths = render_corpus(df, img_dir, pos_dir, cfg.DATA.GTYPE, logger)
-    M, T, Tn = cfg.DATA.MAX_NODES, cfg.DATA.FUNC_TOKENS, cfg.DATA.NODE_TOKENS
     rows = df[df._id.isin(paths)]
     n = len(rows)
     arrs = {

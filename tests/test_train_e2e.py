@@ -88,3 +88,24 @@ def test_train_e2e_capacity_flag_matches_auto(tmp_path):
         np.testing.assert_allclose(r1["history"][0][key],
                                    r2["history"][0][key], rtol=1e-4)
     assert np.isfinite(r1["best_f1"]) and np.isfinite(r2["best_f1"])
+
+
+def test_train_e2e_stale_cache_invalidated(tmp_path):
+    """A config change (IMG_SIZE) between runs sharing an output dir must
+    rebuild the e2e cache — the r4s6 hard-2400 run loaded a 384px cache
+    into a 448px model and died on a reshape deep inside the jitted step."""
+    import os
+    from mvuld_tpu.train.train_e2e import main
+    out = str(tmp_path / "run")
+    opts = _tiny_opts()
+    res = main(["--synthetic", "24", "--output", out, "--batch-size", "8",
+                "--cache-only", "--opts", *opts])
+    cache_path = os.path.join(res["output"], "cache", "e2e.npz")
+    shape32 = np.load(cache_path)["image"].shape
+    assert shape32[1:3] == (32, 32)
+    i = opts.index("DATA.IMG_SIZE")
+    opts[i + 1] = "48"
+    main(["--synthetic", "24", "--output", out, "--batch-size", "8",
+          "--cache-only", "--opts", *opts])
+    assert np.load(cache_path)["image"].shape[1:3] == (48, 48), \
+        "stale 32px cache survived an IMG_SIZE=48 run"
