@@ -189,6 +189,20 @@ def default_config() -> CfgNode:
     #                                ~3x cheaper host fetch per improvement
     #                                over the TPU relay (the e2e 220M-param
     #                                full state is a ~2.6 GB transfer)
+    _C.TRAIN.DEVICE_DATA = False   # keep the full TRAIN split device-resident
+    #                                (images in the compute dtype) and ship
+    #                                only int32 batch indices per step; the
+    #                                gather happens inside the jitted step.
+    #                                Removes per-step host->device batch
+    #                                transfers — essential on the tunneled
+    #                                TPU relay, whose client leaks host RAM
+    #                                proportional to transferred bytes (a
+    #                                30-epoch 2400-function e2e run leaked
+    #                                130 GB and was host-OOM-killed), and
+    #                                idiomatic on TPU regardless (the 1-core
+    #                                host stops being the feed bottleneck).
+    #                                Costs HBM: the train split must fit
+    #                                next to the model + optimizer.
     _C.TRAIN.BEST_FETCH = "sync"   # "async": a val-F1 improvement starts a
     #                                copy_to_host_async of the snapshot leaves
     #                                and returns immediately — the D2H overlaps

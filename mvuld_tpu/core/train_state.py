@@ -47,16 +47,31 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
     return -(targets * logp).sum(axis=-1).mean()
 
 
+def _gather_rows(data: Dict, idx) -> Dict:
+    """Device-side batch materialization: row-gather every column of the
+    device-resident dataset at the step's indices. Runs INSIDE the jitted
+    step so the host ships only the int32 index vector (TRAIN.DEVICE_DATA —
+    the data dict must be a jit ARGUMENT, never a closure constant: the
+    tunneled-TPU compile path inlines closure constants into the shipped
+    HLO, see make_multi_train_step's compiler_options note)."""
+    return {k: v[idx] for k, v in data.items()}
+
+
 def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
                     label_smoothing: float = 0.1,
                     has_batch_stats: bool = False,
                     donate: bool = True,
-                    compiler_options: dict = None) -> Callable:
+                    compiler_options: dict = None,
+                    indexed: bool = False) -> Callable:
     """Build a jitted train step.
 
     ``apply_fn(variables, batch, rngs, train) -> logits`` adapts each model's
     call signature; the factory handles loss/grad/update and (optionally)
     BatchNorm statistics mutation.
+
+    With ``indexed=True`` the returned step takes an extra trailing ``data``
+    argument (the device-resident column dict) and ``batch`` shrinks to
+    ``{"idx": int32[B]}``; rows are gathered on device (see _gather_rows).
     """
 
     def loss_fn(params, batch_stats, batch, rng):
@@ -90,6 +105,11 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
                                   opt_state=new_opt, batch_stats=new_stats)
         return new_state, metrics
 
+    if indexed:
+        def indexed_step(state: TrainState, batch: Dict, rng, data: Dict):
+            return train_step(state, _gather_rows(data, batch["idx"]), rng)
+        return jax.jit(indexed_step, donate_argnums=(0,) if donate else (),
+                       compiler_options=compiler_options)
     return jax.jit(train_step, donate_argnums=(0,) if donate else (),
                    compiler_options=compiler_options)
 
@@ -98,7 +118,8 @@ def make_multi_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
                           num_steps: int, label_smoothing: float = 0.1,
                           has_batch_stats: bool = False,
                           donate: bool = True,
-                          compiler_options: dict = None) -> Callable:
+                          compiler_options: dict = None,
+                          indexed: bool = False) -> Callable:
     """K fused optimizer steps in ONE jitted call via lax.scan.
 
     Step fusion amortizes per-dispatch overhead (host→device RPC latency —
@@ -147,6 +168,15 @@ def make_multi_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
     # way to set TPU backend flags (e.g. xla_tpu_scoped_vmem_limit_kib)
     # through the tunneled-client setup, where client-side XLA_FLAGS are
     # parsed by a CPU build that rejects TPU flag names
+    if indexed:
+        def indexed_multi(state: TrainState, superbatch: Dict, rng, data: Dict):
+            def idx_body(carry, idx):
+                return body(carry, _gather_rows(data, idx))
+            (state, _), metrics = jax.lax.scan(
+                idx_body, (state, rng), superbatch["idx"], length=num_steps)
+            return state, metrics
+        return jax.jit(indexed_multi, donate_argnums=(0,) if donate else (),
+                       compiler_options=compiler_options)
     return jax.jit(multi_step, donate_argnums=(0,) if donate else (),
                    compiler_options=compiler_options)
 

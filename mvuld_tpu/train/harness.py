@@ -47,15 +47,26 @@ def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
         batch_hook: Optional[Callable] = None, output_dir: str = "",
         patience: Optional[int] = None, logger=None,
         save_best: bool = True, multi_step: Optional[Callable] = None,
-        fused_steps: int = 1) -> Dict:
+        fused_steps: int = 1, device_data: Optional[Dict] = None) -> Dict:
     """Run the full training loop; returns {state, best, val/test metrics}.
 
     With ``multi_step`` (from make_multi_train_step) and ``fused_steps`` > 1,
     K host batches are stacked into a superbatch and trained in ONE device
     dispatch — essential when per-dispatch latency is high (remote TPU,
     multi-host). Falls back to per-batch stepping for epoch remainders.
+
+    With ``device_data`` (TRAIN.DEVICE_DATA): the train split lives on
+    device as a column dict, ``train_ds`` holds only an int32 "idx" column,
+    and the steps (built with ``indexed=True``) gather rows on device —
+    per-step host→device traffic drops to the index vector. Eval keeps the
+    host-fed path.
     """
     import numpy as np
+
+    if device_data is not None and batch_hook is not None:
+        raise ValueError("device_data mode ships index batches; batch_hook "
+                         "(host-side augmentation) cannot apply — disable "
+                         "one of them")
 
     logger = logger or create_logger(output_dir)
     if output_dir:
@@ -157,10 +168,14 @@ def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
         for is_multi, b, it, n_done in Prefetcher(host_stream(epoch), depth=2):
             t0 = time.time()
             if is_multi:
-                state, metrics = multi_step(state, b, rng)
+                state, metrics = (multi_step(state, b, rng, device_data)
+                                  if device_data is not None
+                                  else multi_step(state, b, rng))
                 step_loss = metrics["loss"][-1]
             else:
-                state, metrics = train_step(state, b, rng)
+                state, metrics = (train_step(state, b, rng, device_data)
+                                  if device_data is not None
+                                  else train_step(state, b, rng))
                 step_loss = metrics["loss"]
             if it % cfg.PRINT_FREQ < (fused_steps if use_fused else 1):
                 loss = float(step_loss)         # forces sync — only on print

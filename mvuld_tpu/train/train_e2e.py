@@ -233,10 +233,39 @@ def main(argv=None) -> dict:
     tx = build_optimizer(cfg, schedule)
     state = TrainState.create(variables["params"], tx,
                               batch_stats=variables.get("batch_stats"))
+
+    # TRAIN.DEVICE_DATA: ship the train split to HBM ONCE (images in the
+    # compute dtype) and train from int32 index batches gathered inside the
+    # jitted step. On the tunneled TPU relay every host->device transfer
+    # leaks client RAM proportional to its byte size (a 30-epoch
+    # 2400-function run leaked 130 GB of batch buffers and was OOM-killed);
+    # device residency caps that at one corpus transfer — and drops the
+    # 1-core host out of the per-step critical path entirely.
+    device_data = None
+    if cfg.TRAIN.DEVICE_DATA:
+        cols = datasets["train"].columns
+        img_dtype = (jnp.bfloat16 if cfg.PARALLEL.DTYPE == "bfloat16"
+                     else None)
+        # replicated over the mesh: each dp shard gathers its slice of the
+        # index batch locally (costs |mesh| HBM copies — dp>1 with a corpus
+        # this large wants a sharded corpus + collective gather instead)
+        rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        device_data = {
+            k: jax.device_put(
+                v.astype(jnp.bfloat16) if (k == "image" and img_dtype)
+                else v, rep)
+            for k, v in cols.items()}
+        nbytes = sum(int(v.nbytes) for v in device_data.values())
+        logger.info(f"device-resident train split: {nbytes / 1e9:.2f} GB "
+                    f"in HBM ({len(datasets['train'])} rows)")
+        datasets["train"] = ArrayDataset(
+            {"idx": np.arange(len(datasets["train"]), dtype=np.int32)})
+
     train_step = make_train_step(apply_fn, tx,
                                  label_smoothing=cfg.MODEL.LABEL_SMOOTHING,
                                  has_batch_stats=has_bn, donate=False,
-                                 compiler_options=compiler_opts)
+                                 compiler_options=compiler_opts,
+                                 indexed=device_data is not None)
     eval_step = make_eval_step(apply_fn, has_batch_stats=has_bn)
 
     with mesh:
@@ -245,7 +274,8 @@ def main(argv=None) -> dict:
                    eval_step=eval_step, train_ds=datasets["train"],
                    val_ds=datasets.get("val", datasets["train"]),
                    test_ds=datasets.get("test"), mesh=mesh,
-                   output_dir=cfg.OUTPUT, logger=logger)
+                   output_dir=cfg.OUTPUT, logger=logger,
+                   device_data=device_data)
 
 
 if __name__ == "__main__":

@@ -119,3 +119,43 @@ def test_fit_with_fused_steps_matches_unfused():
     pb = jax.tree_util.tree_leaves(res_b["state"].params)
     for a, b in zip(pa, pb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_indexed_steps_match_direct_batches():
+    """indexed=True (TRAIN.DEVICE_DATA): steps fed int32 index batches that
+    gather rows from a device-resident column dict must produce the exact
+    parameter trajectory of the direct-batch steps."""
+    model, variables, tx, apply_fn = _setup()
+    rng = jax.random.PRNGKey(3)
+    K, B, N = 4, 8, 64
+    rs = np.random.RandomState(1)
+    data = {"x": jnp.asarray(rs.randn(N, 4).astype(np.float32)),
+            "label": jnp.asarray(rs.randint(0, 2, N).astype(np.int32))}
+    idx = rs.permutation(N)[: K * B].astype(np.int32).reshape(K, B)
+
+    direct = make_train_step(apply_fn, tx, label_smoothing=0.0, donate=False)
+    state_a = TrainState.create(variables["params"], tx)
+    for k in range(K):
+        state_a, _ = direct(state_a, {"x": data["x"][idx[k]],
+                                      "label": data["label"][idx[k]]}, rng)
+
+    single_i = make_train_step(apply_fn, tx, label_smoothing=0.0,
+                               donate=False, indexed=True)
+    state_b = TrainState.create(variables["params"], tx)
+    for k in range(K):
+        state_b, m = single_i(state_b, {"idx": jnp.asarray(idx[k])}, rng,
+                              data)
+    assert np.isfinite(float(m["loss"]))
+
+    multi_i = make_multi_train_step(apply_fn, tx, num_steps=K,
+                                    label_smoothing=0.0, donate=False,
+                                    indexed=True)
+    state_c = TrainState.create(variables["params"], tx)
+    state_c, metrics = multi_i(state_c, {"idx": jnp.asarray(idx)}, rng, data)
+    assert int(state_c.step) == K and metrics["loss"].shape == (K,)
+
+    pa = jax.tree_util.tree_leaves(state_a.params)
+    for sb in (state_b, state_c):
+        for a, b in zip(pa, jax.tree_util.tree_leaves(sb.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)

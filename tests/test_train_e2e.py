@@ -109,3 +109,22 @@ def test_train_e2e_stale_cache_invalidated(tmp_path):
           "--cache-only", "--opts", *opts])
     assert np.load(cache_path)["image"].shape[1:3] == (48, 48), \
         "stale 32px cache survived an IMG_SIZE=48 run"
+
+
+def test_train_e2e_device_data_parity(tmp_path):
+    """TRAIN.DEVICE_DATA True (device-resident train split + on-device batch
+    gather from index batches) must reproduce the host-fed path's first-epoch
+    metrics exactly (fp32, same seed/shuffle — the gather is the identity
+    reordering). This is the leak-proof path for the tunneled TPU relay,
+    whose client leaks host RAM per transferred batch byte."""
+    from mvuld_tpu.train.train_e2e import main
+    common = ["--synthetic", "24", "--batch-size", "8",
+              "--opts", *_tiny_opts(), "TRAIN.EPOCHS", "1"]
+    r_host = main(common[:4] + ["--output", str(tmp_path / "host")]
+                  + common[4:])
+    r_dev = main(common[:4] + ["--output", str(tmp_path / "dev")]
+                 + common[4:] + ["TRAIN.DEVICE_DATA", "True"])
+    for key in ("f1", "pr_auc", "acc", "roc_auc"):
+        np.testing.assert_allclose(r_host["history"][0][key],
+                                   r_dev["history"][0][key], rtol=1e-5)
+    assert np.isfinite(r_dev["best_f1"])
