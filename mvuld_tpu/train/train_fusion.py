@@ -68,7 +68,7 @@ def main(argv=None) -> dict:
     from mvuld_tpu.core.schedule import build_schedule
     from mvuld_tpu.core.train_state import (TrainState, make_eval_step,
                                             make_train_step)
-    from mvuld_tpu.data.loader import steps_per_epoch
+    from mvuld_tpu.data.loader import ArrayDataset, steps_per_epoch
     from mvuld_tpu.models.fusion_zoo import build_fusion_model
     from mvuld_tpu.parallel.mesh import make_mesh, replicate
     from mvuld_tpu.tools.vocab import GRAPH_TYPE_EDGES
@@ -150,9 +150,28 @@ def main(argv=None) -> dict:
     state = TrainState.create(variables["params"], tx,
                               batch_stats=variables.get("batch_stats"))
 
+    # TRAIN.DEVICE_DATA: cached features live in HBM once and batches are
+    # int32 index vectors gathered inside the jitted step — required for
+    # long runs through the TPU relay (its client leaks host RAM per
+    # transferred batch byte; see train_e2e for the measured failure) and
+    # the right shape for Big-Vul-scale corpora on a 1-core host anyway.
+    device_data = None
+    if cfg.TRAIN.DEVICE_DATA:
+        rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        device_data = {
+            k: jax.device_put(v, rep)
+            for k, v in datasets["train"].columns.items()
+            if np.issubdtype(np.asarray(v).dtype, np.number)}
+        nbytes = sum(int(v.nbytes) for v in device_data.values())
+        logger.info(f"device-resident train split: {nbytes / 1e9:.2f} GB "
+                    f"in HBM ({len(datasets['train'])} rows)")
+        datasets["train"] = ArrayDataset(
+            {"idx": np.arange(len(datasets["train"]), dtype=np.int32)})
+
     train_step = make_train_step(apply_fn, tx,
                                  label_smoothing=cfg.MODEL.LABEL_SMOOTHING,
-                                 has_batch_stats=has_bn, donate=False)
+                                 has_batch_stats=has_bn, donate=False,
+                                 indexed=device_data is not None)
     eval_step = make_eval_step(apply_fn, has_batch_stats=has_bn)
 
     with mesh:
@@ -166,7 +185,8 @@ def main(argv=None) -> dict:
                    eval_step=eval_step, train_ds=datasets["train"],
                    val_ds=datasets.get("val", datasets["train"]),
                    test_ds=datasets.get("test"), mesh=mesh,
-                   output_dir=output_dir, logger=logger)
+                   output_dir=output_dir, logger=logger,
+                   device_data=device_data)
 
 
 if __name__ == "__main__":

@@ -84,3 +84,31 @@ def test_ablation_arch_flag(result):
         "PARALLEL.DTYPE", "float32",
     ])
     assert "test_metrics" in res
+
+
+def test_fusion_device_data_parity(result, tmp_path):
+    """TRAIN.DEVICE_DATA (device-resident cached features + on-device index
+    gather) must reproduce the host-fed fusion run's first-epoch metrics
+    exactly — same caches, same seed/shuffle."""
+    _, out = result
+    from mvuld_tpu.train.train_fusion import main
+    common = [
+        "--batch-size", "16",
+        "--cache-dir", os.path.join(out, "cache"),
+        "--opts",
+        "DATA.MAX_NODES", "32",
+        "MODEL.MULTI.HIDDEN", "64",
+        "MODEL.MULTI.NUM_RS_GCN", "2",
+        "MODEL.MULTI.NUM_HIDDEN_FC", "2",
+        "TRAIN.EPOCHS", "1",
+        "TRAIN.WARMUP_EPOCHS", "1",
+        "PARALLEL.DTYPE", "float32",
+        "PRINT_FREQ", "5",
+    ]
+    r_host = main(common[:2] + ["--output", str(tmp_path / "host")]
+                  + common[2:])
+    r_dev = main(common[:2] + ["--output", str(tmp_path / "dev")]
+                 + common[2:] + ["TRAIN.DEVICE_DATA", "True"])
+    for key in ("f1", "pr_auc", "acc"):
+        np.testing.assert_allclose(r_host["history"][0][key],
+                                   r_dev["history"][0][key], rtol=1e-5)
