@@ -203,6 +203,14 @@ def default_config() -> CfgNode:
     #                                host stops being the feed bottleneck).
     #                                Costs HBM: the train split must fit
     #                                next to the model + optimizer.
+    _C.TRAIN.DEVICE_EVAL = False   # same residency for the VAL/TEST splits:
+    #                                eval batches become int32 index vectors
+    #                                gathered on device (make_eval_step
+    #                                indexed=True). Together with DEVICE_DATA
+    #                                this makes long runs transfer-free after
+    #                                the one-time corpus upload (eval was the
+    #                                residual ~0.6 GB/epoch of relay-leaking
+    #                                host→device traffic).
     _C.TRAIN.BEST_FETCH = "sync"   # "async": a val-F1 improvement starts a
     #                                copy_to_host_async of the snapshot leaves
     #                                and returns immediately — the D2H overlaps

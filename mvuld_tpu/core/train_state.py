@@ -181,13 +181,23 @@ def make_multi_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
                    compiler_options=compiler_options)
 
 
-def make_eval_step(apply_fn: Callable, has_batch_stats: bool = False) -> Callable:
+def make_eval_step(apply_fn: Callable, has_batch_stats: bool = False,
+                   indexed: bool = False) -> Callable:
+    """Jitted inference forward. With ``indexed=True`` (TRAIN.DEVICE_EVAL)
+    the step takes a trailing device-resident column dict and the batch
+    shrinks to ``{"idx": int32[B]}`` — the eval split never re-crosses the
+    host→device boundary after its one-time upload (the tunneled TPU
+    relay's client leaks host RAM per transferred byte; see _gather_rows)."""
     def eval_step(state: TrainState, batch: Dict) -> jnp.ndarray:
         variables = {"params": state.params}
         if has_batch_stats:
             variables["batch_stats"] = state.batch_stats
         return apply_fn(variables, batch, rngs=None, train=False)
 
+    if indexed:
+        def indexed_eval(state: TrainState, batch: Dict, data: Dict):
+            return eval_step(state, _gather_rows(data, batch["idx"]))
+        return jax.jit(indexed_eval)
     return jax.jit(eval_step)
 
 

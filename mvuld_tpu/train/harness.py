@@ -24,15 +24,25 @@ from mvuld_tpu.parallel.mesh import shard_batch, shard_superbatch
 
 
 def run_eval(eval_step: Callable, state: TrainState, ds: ArrayDataset,
-             batch_size: int, mesh=None) -> Dict[str, float]:
+             batch_size: int, mesh=None, device_data=None) -> Dict[str, float]:
     """Gather logits over the eval set (padded final batch masked out) and
-    compute the canonical metric suite on host."""
+    compute the canonical metric suite on host.
+
+    With ``device_data`` (TRAIN.DEVICE_EVAL) the split's feature columns
+    live in HBM, ``ds`` carries only int32 "idx" + host "label" columns,
+    ``eval_step`` must be built with ``indexed=True``, and each eval batch
+    ships only its index vector."""
     all_logits, all_labels = [], []
     for batch in eval_batches(ds, batch_size):
         valid = batch.pop("_valid")
         labels = batch["label"]
-        b = shard_batch(mesh, batch) if mesh is not None else batch
-        logits = np.asarray(eval_step(state, b))
+        if device_data is not None:
+            b = {"idx": batch["idx"]}
+            b = shard_batch(mesh, b) if mesh is not None else b
+            logits = np.asarray(eval_step(state, b, device_data))
+        else:
+            b = shard_batch(mesh, batch) if mesh is not None else batch
+            logits = np.asarray(eval_step(state, b))
         keep = valid > 0
         all_logits.append(logits[keep])
         all_labels.append(np.asarray(labels)[keep])
@@ -47,7 +57,8 @@ def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
         batch_hook: Optional[Callable] = None, output_dir: str = "",
         patience: Optional[int] = None, logger=None,
         save_best: bool = True, multi_step: Optional[Callable] = None,
-        fused_steps: int = 1, device_data: Optional[Dict] = None) -> Dict:
+        fused_steps: int = 1, device_data: Optional[Dict] = None,
+        eval_device_data: Optional[Dict] = None) -> Dict:
     """Run the full training loop; returns {state, best, val/test metrics}.
 
     With ``multi_step`` (from make_multi_train_step) and ``fused_steps`` > 1,
@@ -58,8 +69,12 @@ def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
     With ``device_data`` (TRAIN.DEVICE_DATA): the train split lives on
     device as a column dict, ``train_ds`` holds only an int32 "idx" column,
     and the steps (built with ``indexed=True``) gather rows on device —
-    per-step host→device traffic drops to the index vector. Eval keeps the
-    host-fed path.
+    per-step host→device traffic drops to the index vector.
+
+    With ``eval_device_data`` (TRAIN.DEVICE_EVAL): a ``{"val": cols,
+    "test": cols}`` dict of device-resident eval columns; ``val_ds`` /
+    ``test_ds`` carry only "idx" + "label", and ``eval_step`` must be
+    built with ``indexed=True`` — it must cover every split evaluated.
     """
     import numpy as np
 
@@ -185,7 +200,8 @@ def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
                     f"epoch {epoch} it {it}: loss {loss:.4f} "
                     f"({speed_meter.val:.1f} samples/s)")
 
-        val_metrics = run_eval(eval_step, state, val_ds, batch_size, mesh)
+        val_metrics = run_eval(eval_step, state, val_ds, batch_size, mesh,
+                               (eval_device_data or {}).get("val"))
         history.append({"epoch": epoch, **val_metrics})
         logger.info(f"epoch {epoch} VAL  {format_metrics(val_metrics)} "
                     f"({time.time() - t_epoch:.1f}s)")
@@ -258,7 +274,8 @@ def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
     out = {"state": best_state, "best_f1": stopper.best,
            "best_epoch": stopper.best_epoch, "history": history}
     if test_ds is not None:
-        test_metrics = run_eval(eval_step, best_state, test_ds, batch_size, mesh)
+        test_metrics = run_eval(eval_step, best_state, test_ds, batch_size,
+                                mesh, (eval_device_data or {}).get("test"))
         logger.info(f"TEST {format_metrics(test_metrics)}")
         out["test_metrics"] = test_metrics
     if output_dir:

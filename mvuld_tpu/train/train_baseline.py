@@ -164,12 +164,21 @@ def _bce_train(model, data, epochs, lr, seed, batch_size, logger):
     tx = optax.adam(lr)
     opt_state = tx.init(variables["params"])
 
+    # Device-resident corpus + on-device index gather (same pattern as
+    # TRAIN.DEVICE_DATA): per-step host→device traffic is one int32 index
+    # vector. The per-batch host-gather-then-upload this replaces leaked
+    # client RAM on the tunneled TPU relay proportional to every
+    # transferred byte (IVDetect-2400 reached 29 GB RSS over 30 epochs).
+    dtrain = {k: jnp.asarray(train[k])
+              for k in ("feats", "adj_etype", "node_mask", "label")}
+
     @jax.jit
-    def step(params, opt_state, feats, adj_e, mask, labels):
+    def step(params, opt_state, idx, dd):
         def loss_fn(p):
-            logits = model.apply({"params": p}, feats, adj_e, mask)
+            logits = model.apply({"params": p}, dd["feats"][idx],
+                                 dd["adj_etype"][idx], dd["node_mask"][idx])
             return optax.sigmoid_binary_cross_entropy(
-                logits, labels.astype(jnp.float32)).mean()
+                logits, dd["label"][idx].astype(jnp.float32)).mean()
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, new_opt = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_opt, loss
@@ -186,10 +195,7 @@ def _bce_train(model, data, epochs, lr, seed, batch_size, logger):
         for b in range(max(n // batch_size, 1)):
             idx = order[b * batch_size:(b + 1) * batch_size]
             params, opt_state, loss = step(
-                params, opt_state, jnp.asarray(train["feats"][idx]),
-                jnp.asarray(train["adj_etype"][idx]),
-                jnp.asarray(train["node_mask"][idx]),
-                jnp.asarray(train["label"][idx]))
+                params, opt_state, jnp.asarray(idx, jnp.int32), dtrain)
             losses.append(float(loss))
         logger.info(f"epoch {epoch}: loss {np.mean(losses):.4f}")
 
@@ -198,12 +204,13 @@ def _bce_train(model, data, epochs, lr, seed, batch_size, logger):
         if part not in data:
             continue
         d = data[part]
+        dd = {k: jnp.asarray(d[k])            # one upload per split
+              for k in ("feats", "adj_etype", "node_mask")}
         probs = []
         for b in range(0, len(d["label"]), batch_size):
             sl = slice(b, b + batch_size)
-            logits = predict(params, jnp.asarray(d["feats"][sl]),
-                             jnp.asarray(d["adj_etype"][sl]),
-                             jnp.asarray(d["node_mask"][sl]))
+            logits = predict(params, dd["feats"][sl],
+                             dd["adj_etype"][sl], dd["node_mask"][sl])
             probs.append(1 / (1 + np.exp(-np.asarray(logits))))
         results[part] = get_metrics_probs(d["label"], np.concatenate(probs))
         logger.info(f"{part}: {results[part]}")
@@ -268,11 +275,17 @@ def main(argv=None) -> dict:
         tx = optax.adam(args.lr)
         opt_state = tx.init(variables["params"])
 
+        # device-resident 5-channel corpus + on-device gather (the
+        # IVDetect-2400 run's per-batch uploads leaked 29 GB of relay-client
+        # host RAM over 30 epochs; see _bce_train's note)
+        dtrain = {k: jnp.asarray(train[k]) for k in keys + ["label"]}
+
         @jax.jit
-        def step(params, opt_state, batch, labels):
+        def step(params, opt_state, idx, dd):
             def loss_fn(p):
-                logits = model.apply({"params": p}, *batch)
-                onehot = jax.nn.one_hot(labels, 2)
+                logits = model.apply({"params": p},
+                                     *(dd[k][idx] for k in keys))
+                onehot = jax.nn.one_hot(dd["label"][idx], 2)
                 return optax.softmax_cross_entropy(logits, onehot).mean()
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, new_opt = tx.update(grads, opt_state, params)
@@ -290,9 +303,8 @@ def main(argv=None) -> dict:
             losses = []
             for b in range(max(n // args.batch_size, 1)):
                 idx = order[b * args.batch_size:(b + 1) * args.batch_size]
-                batch = tuple(jnp.asarray(train[k][idx]) for k in keys)
-                params, opt_state, loss = step(params, opt_state, batch,
-                                               jnp.asarray(train["label"][idx]))
+                params, opt_state, loss = step(
+                    params, opt_state, jnp.asarray(idx, jnp.int32), dtrain)
                 losses.append(float(loss))
             logger.info(f"epoch {epoch}: loss {np.mean(losses):.4f}")
         results = {}
@@ -300,10 +312,11 @@ def main(argv=None) -> dict:
             if part not in data:
                 continue
             d = data[part]
+            dd = tuple(jnp.asarray(d[k]) for k in keys)   # one upload/split
             probs = []
             for b in range(0, len(d["label"]), args.batch_size):
                 sl = slice(b, b + args.batch_size)
-                logits = predict(params, tuple(jnp.asarray(d[k][sl]) for k in keys))
+                logits = predict(params, tuple(a[sl] for a in dd))
                 e = np.exp(np.asarray(logits))
                 probs.append((e / e.sum(-1, keepdims=True))[:, 1])
             results[part] = get_metrics_probs(d["label"], np.concatenate(probs))
@@ -335,12 +348,14 @@ def main(argv=None) -> dict:
 
     reps = {}
     for part, d in data.items():
+        dd = {k: jnp.asarray(d[k])            # one upload per split
+              for k in ("feats", "adj_etype", "node_mask")}
         rs = []
         for b in range(0, len(d["label"]), args.batch_size):
             sl = slice(b, b + args.batch_size)
-            rs.append(np.asarray(reprs_of(jnp.asarray(d["feats"][sl]),
-                                          jnp.asarray(d["adj_etype"][sl]),
-                                          jnp.asarray(d["node_mask"][sl]))))
+            rs.append(np.asarray(reprs_of(dd["feats"][sl],
+                                          dd["adj_etype"][sl],
+                                          dd["node_mask"][sl])))
         reps[part] = (np.concatenate(rs), d["label"])
 
     rng_np = np.random.RandomState(args.seed)
@@ -351,8 +366,19 @@ def main(argv=None) -> dict:
     tx = optax.adam(args.lr)
     opt_state = tx.init(variables["params"])
 
+    # SMOTE'd representations live on device once; the step gathers the
+    # anchor/positive/negative triplets by index (host keeps the class-
+    # conditional sampling, which is cheap — only 3 index vectors ship).
+    # The arrays ride as jit ARGUMENTS, not closure constants: the relay
+    # compile path inlines captured constants into the shipped HLO.
+    dx_train = jnp.asarray(x_train)
+    dy_train = jnp.asarray(y_train)
+
     @jax.jit
-    def ml_step(params, opt_state, xa, xp, xn, ya, rng):
+    def ml_step(params, opt_state, ia, ip, inn, rng, dx, dy):
+        xa, xp, xn = dx[ia], dx[ip], dx[inn]
+        ya = dy[ia]
+
         def loss_fn(p):
             logp_a, h_a = ml.apply({"params": p}, xa, train=True,
                                    rngs={"dropout": rng})
@@ -383,9 +409,9 @@ def main(argv=None) -> dict:
                                  for y in ya])
             rng_key, sub = jax.random.split(rng_key)
             ml_params, opt_state, loss = ml_step(
-                ml_params, opt_state, jnp.asarray(x_train[idx]),
-                jnp.asarray(x_train[xp_idx]), jnp.asarray(x_train[xn_idx]),
-                jnp.asarray(ya), sub)
+                ml_params, opt_state, jnp.asarray(idx, jnp.int32),
+                jnp.asarray(xp_idx, jnp.int32),
+                jnp.asarray(xn_idx, jnp.int32), sub, dx_train, dy_train)
             losses.append(float(loss))
             del same
         logger.info(f"[metric] epoch {epoch}: loss {np.mean(losses):.4f}")

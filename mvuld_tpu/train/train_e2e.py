@@ -241,32 +241,52 @@ def main(argv=None) -> dict:
     # 2400-function run leaked 130 GB of batch buffers and was OOM-killed);
     # device residency caps that at one corpus transfer — and drops the
     # 1-core host out of the per-step critical path entirely.
+    img_dtype = (jnp.bfloat16 if cfg.PARALLEL.DTYPE == "bfloat16" else None)
+    # replicated over the mesh: each dp shard gathers its slice of the
+    # index batch locally (costs |mesh| HBM copies — dp>1 with a corpus
+    # this large wants a sharded corpus + collective gather instead)
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+
+    def _put_split(cols):
+        dd = {k: jax.device_put(
+                  v.astype(jnp.bfloat16) if (k == "image" and img_dtype)
+                  else v, rep)
+              for k, v in cols.items()}
+        return dd, sum(int(v.nbytes) for v in dd.values())
+
     device_data = None
     if cfg.TRAIN.DEVICE_DATA:
-        cols = datasets["train"].columns
-        img_dtype = (jnp.bfloat16 if cfg.PARALLEL.DTYPE == "bfloat16"
-                     else None)
-        # replicated over the mesh: each dp shard gathers its slice of the
-        # index batch locally (costs |mesh| HBM copies — dp>1 with a corpus
-        # this large wants a sharded corpus + collective gather instead)
-        rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
-        device_data = {
-            k: jax.device_put(
-                v.astype(jnp.bfloat16) if (k == "image" and img_dtype)
-                else v, rep)
-            for k, v in cols.items()}
-        nbytes = sum(int(v.nbytes) for v in device_data.values())
+        device_data, nbytes = _put_split(datasets["train"].columns)
         logger.info(f"device-resident train split: {nbytes / 1e9:.2f} GB "
                     f"in HBM ({len(datasets['train'])} rows)")
         datasets["train"] = ArrayDataset(
             {"idx": np.arange(len(datasets["train"]), dtype=np.int32)})
+
+    # TRAIN.DEVICE_EVAL: same residency for val/test — eval batches become
+    # index vectors, so after the one-time uploads NO bulk tensors cross the
+    # (leaky) relay boundary for the whole run. Labels stay host-side for
+    # the sklearn metric suite.
+    eval_device_data = None
+    if cfg.TRAIN.DEVICE_EVAL:
+        eval_device_data = {}
+        for split in ("val", "test"):
+            if split not in datasets:
+                continue
+            cols = datasets[split].columns
+            eval_device_data[split], nbytes = _put_split(cols)
+            logger.info(f"device-resident {split} split: "
+                        f"{nbytes / 1e9:.2f} GB in HBM")
+            datasets[split] = ArrayDataset(
+                {"idx": np.arange(len(datasets[split]), dtype=np.int32),
+                 "label": np.asarray(cols["label"])})
 
     train_step = make_train_step(apply_fn, tx,
                                  label_smoothing=cfg.MODEL.LABEL_SMOOTHING,
                                  has_batch_stats=has_bn, donate=False,
                                  compiler_options=compiler_opts,
                                  indexed=device_data is not None)
-    eval_step = make_eval_step(apply_fn, has_batch_stats=has_bn)
+    eval_step = make_eval_step(apply_fn, has_batch_stats=has_bn,
+                               indexed=eval_device_data is not None)
 
     with mesh:
         state = replicate(mesh, state)
@@ -275,7 +295,8 @@ def main(argv=None) -> dict:
                    val_ds=datasets.get("val", datasets["train"]),
                    test_ds=datasets.get("test"), mesh=mesh,
                    output_dir=cfg.OUTPUT, logger=logger,
-                   device_data=device_data)
+                   device_data=device_data,
+                   eval_device_data=eval_device_data)
 
 
 if __name__ == "__main__":

@@ -155,30 +155,50 @@ def main(argv=None) -> dict:
     # long runs through the TPU relay (its client leaks host RAM per
     # transferred batch byte; see train_e2e for the measured failure) and
     # the right shape for Big-Vul-scale corpora on a 1-core host anyway.
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+
+    def _put_split(ds):
+        dd = {k: jax.device_put(v, rep) for k, v in ds.columns.items()
+              if np.issubdtype(np.asarray(v).dtype, np.number)}
+        return dd, sum(int(v.nbytes) for v in dd.values())
+
     device_data = None
     if cfg.TRAIN.DEVICE_DATA:
-        rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
-        device_data = {
-            k: jax.device_put(v, rep)
-            for k, v in datasets["train"].columns.items()
-            if np.issubdtype(np.asarray(v).dtype, np.number)}
-        nbytes = sum(int(v.nbytes) for v in device_data.values())
+        device_data, nbytes = _put_split(datasets["train"])
         logger.info(f"device-resident train split: {nbytes / 1e9:.2f} GB "
                     f"in HBM ({len(datasets['train'])} rows)")
         datasets["train"] = ArrayDataset(
             {"idx": np.arange(len(datasets["train"]), dtype=np.int32)})
 
+    # TRAIN.DEVICE_EVAL: val/test residency too — eval ships only index
+    # vectors, making the whole run transfer-free after the corpus uploads.
+    eval_device_data = None
+    if cfg.TRAIN.DEVICE_EVAL:
+        eval_device_data = {}
+        for split in ("val", "test"):
+            if split not in datasets:
+                continue
+            labels = np.asarray(datasets[split].columns["label"])
+            eval_device_data[split], nbytes = _put_split(datasets[split])
+            logger.info(f"device-resident {split} split: "
+                        f"{nbytes / 1e9:.2f} GB in HBM")
+            datasets[split] = ArrayDataset(
+                {"idx": np.arange(len(labels), dtype=np.int32),
+                 "label": labels})
+
     train_step = make_train_step(apply_fn, tx,
                                  label_smoothing=cfg.MODEL.LABEL_SMOOTHING,
                                  has_batch_stats=has_bn, donate=False,
                                  indexed=device_data is not None)
-    eval_step = make_eval_step(apply_fn, has_batch_stats=has_bn)
+    eval_step = make_eval_step(apply_fn, has_batch_stats=has_bn,
+                               indexed=eval_device_data is not None)
 
     with mesh:
         state = replicate(mesh, state)
         if args.test:
             metrics = run_eval(eval_step, state, datasets["test"],
-                               cfg.DATA.BATCH_SIZE, mesh)
+                               cfg.DATA.BATCH_SIZE, mesh,
+                               (eval_device_data or {}).get("test"))
             logger.info(f"TEST(only) {metrics}")
             return {"test_metrics": metrics}
         return fit(cfg=cfg, state=state, train_step=train_step,
@@ -186,7 +206,8 @@ def main(argv=None) -> dict:
                    val_ds=datasets.get("val", datasets["train"]),
                    test_ds=datasets.get("test"), mesh=mesh,
                    output_dir=output_dir, logger=logger,
-                   device_data=device_data)
+                   device_data=device_data,
+                   eval_device_data=eval_device_data)
 
 
 if __name__ == "__main__":

@@ -116,15 +116,21 @@ def test_train_e2e_device_data_parity(tmp_path):
     gather from index batches) must reproduce the host-fed path's first-epoch
     metrics exactly (fp32, same seed/shuffle — the gather is the identity
     reordering). This is the leak-proof path for the tunneled TPU relay,
-    whose client leaks host RAM per transferred batch byte."""
+    whose client leaks host RAM per transferred batch byte. The device run
+    also enables TRAIN.DEVICE_EVAL (val/test splits resident too, indexed
+    eval step) so the FULLY transfer-free configuration is what parity is
+    asserted on — including the test metrics."""
     from mvuld_tpu.train.train_e2e import main
     common = ["--synthetic", "24", "--batch-size", "8",
               "--opts", *_tiny_opts(), "TRAIN.EPOCHS", "1"]
     r_host = main(common[:4] + ["--output", str(tmp_path / "host")]
                   + common[4:])
     r_dev = main(common[:4] + ["--output", str(tmp_path / "dev")]
-                 + common[4:] + ["TRAIN.DEVICE_DATA", "True"])
+                 + common[4:] + ["TRAIN.DEVICE_DATA", "True",
+                                 "TRAIN.DEVICE_EVAL", "True"])
     for key in ("f1", "pr_auc", "acc", "roc_auc"):
         np.testing.assert_allclose(r_host["history"][0][key],
                                    r_dev["history"][0][key], rtol=1e-5)
+        np.testing.assert_allclose(r_host["test_metrics"][key],
+                                   r_dev["test_metrics"][key], rtol=1e-5)
     assert np.isfinite(r_dev["best_f1"])

@@ -112,3 +112,28 @@ def test_fusion_device_data_parity(result, tmp_path):
     for key in ("f1", "pr_auc", "acc"):
         np.testing.assert_allclose(r_host["history"][0][key],
                                    r_dev["history"][0][key], rtol=1e-5)
+
+
+def test_fusion_device_eval_parity(result):
+    """TRAIN.DEVICE_EVAL: the --test eval-only path over a device-resident
+    test split (index batches + on-device gather, make_eval_step
+    indexed=True) must reproduce the host-fed eval metrics exactly."""
+    _, out = result
+    from mvuld_tpu.train.train_fusion import main
+    common = [
+        "--batch-size", "16",
+        "--output", out,
+        "--cache-dir", os.path.join(out, "cache"),
+        "--test",
+        "--opts",
+        "DATA.MAX_NODES", "32",
+        "MODEL.MULTI.HIDDEN", "64",
+        "MODEL.MULTI.NUM_RS_GCN", "2",
+        "MODEL.MULTI.NUM_HIDDEN_FC", "2",
+        "PARALLEL.DTYPE", "float32",
+    ]
+    r_host = main(list(common))
+    r_dev = main(common + ["TRAIN.DEVICE_EVAL", "True"])
+    for key in ("f1", "pr_auc", "acc", "roc_auc"):
+        np.testing.assert_allclose(r_host["test_metrics"][key],
+                                   r_dev["test_metrics"][key], rtol=1e-6)
