@@ -11,6 +11,7 @@ import functools
 import logging
 import os
 import sys
+import time
 
 
 @functools.lru_cache()
@@ -33,6 +34,33 @@ def create_logger(output_dir: str = "", dist_rank: int = 0, name: str = "mvuld_t
         fh.setFormatter(logging.Formatter(fmt=fmt, datefmt="%Y-%m-%d %H:%M:%S"))
         logger.addHandler(fh)
     return logger
+
+
+class WindowRate:
+    """Per-window throughput meter: ``read()`` returns samples accumulated
+    since the previous ``read()`` divided by the wall time since then.
+
+    The naive alternative — cumulative samples over elapsed-since-t0 —
+    misreports under an async dispatch queue: the host sync at each print
+    absorbs the whole window's device lag, so only window-relative
+    accounting gives the true steady-state rate.  ``clock`` is injectable
+    for tests."""
+
+    def __init__(self, clock=time.time):
+        self._clock = clock
+        self._t = clock()
+        self._n = 0
+        self.val = 0.0
+
+    def add(self, n: int):
+        self._n += int(n)
+
+    def read(self) -> float:
+        now = self._clock()
+        self.val = self._n / max(now - self._t, 1e-9)
+        self._t = now
+        self._n = 0
+        return self.val
 
 
 class AverageMeter:

@@ -84,3 +84,46 @@ def subset_strided_indices(n: int, rank: int, world_size: int,
     if shuffle_seed is not None:
         np.random.RandomState(shuffle_seed).shuffle(idx)
     return idx
+
+
+class IN22KDataset:
+    """ImageNet-22K dataset over a JSON annotation database (reference:
+    mvuld/data/imagenet22k_dataset.py:12 IN22KDATASET).
+
+    ``ann_file`` is a JSON list of ``[relative_image_path, class_index]``
+    pairs under ``root``. Unreadable images degrade to a random 224² RGB
+    image rather than aborting an epoch (reference behavior — multi-day
+    22K pretraining must survive corrupt files)."""
+
+    def __init__(self, root: str, ann_file: str = "", transform=None,
+                 target_transform=None):
+        import json
+        import os
+        self.data_path = root
+        self.ann_path = os.path.join(root, ann_file)
+        self.transform = transform
+        self.target_transform = target_transform
+        with open(self.ann_path) as f:
+            self.database = json.load(f)
+
+    def _load_image(self, path: str):
+        from PIL import Image
+        try:
+            return Image.open(path)
+        except Exception:
+            print("ERROR IMG LOADED: ", path)
+            rand = (np.random.rand(224, 224, 3) * 255).astype(np.uint8)
+            return Image.fromarray(rand)
+
+    def __getitem__(self, index: int):
+        idb = self.database[index]
+        img = self._load_image(self.data_path + "/" + idb[0]).convert("RGB")
+        if self.transform is not None:
+            img = self.transform(img)
+        target = int(idb[1])
+        if self.target_transform is not None:
+            target = self.target_transform(target)
+        return img, target
+
+    def __len__(self) -> int:
+        return len(self.database)

@@ -27,6 +27,46 @@ def _np(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def load_map22kto1k(path: str | None = None) -> np.ndarray:
+    """ImageNet-22K→1K class-index mapping (1000 row indices into the
+    21841-class head), as shipped in ``configs/map22kto1k.txt`` — the same
+    public index list the reference reads from ``data/map22kto1k.txt``
+    (reference: mvuld/utils.py:115-127)."""
+    if path is None:
+        import os
+        path = os.path.join(os.path.dirname(__file__), "..", "..",
+                            "configs", "map22kto1k.txt")
+    with open(path) as f:
+        idx = np.array([int(line.strip()) for line in f if line.strip()],
+                       dtype=np.int64)
+    if idx.shape[0] != 1000:
+        raise ValueError(f"map22kto1k has {idx.shape[0]} entries, want 1000")
+    return idx
+
+
+def _convert_head(head_w: np.ndarray, head_b: np.ndarray, num_classes: int,
+                  strict_head: bool, map22kto1k=None) -> Dict:
+    """Classifier-head surgery on class-count mismatch (reference:
+    mvuld/utils.py:112-135): exact match → transpose; 21841→1000 → select
+    the mapped rows; anything else → xavier re-init (utils.py:22-28)."""
+    n_src = head_w.shape[0]
+    if n_src == num_classes:
+        return {"kernel": head_w.T, "bias": head_b}
+    if n_src == 21841 and num_classes == 1000:
+        idx = (np.asarray(map22kto1k, dtype=np.int64)
+               if map22kto1k is not None else load_map22kto1k())
+        return {"kernel": head_w[idx].T, "bias": head_b[idx]}
+    if strict_head:
+        raise ValueError(
+            f"head has {n_src} classes, config wants {num_classes}")
+    rng = np.random.RandomState(0)
+    fan_in, fan_out = head_w.shape[1], num_classes
+    limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return {"kernel": rng.uniform(-limit, limit,
+                                  (fan_in, fan_out)).astype(np.float32),
+            "bias": np.zeros((fan_out,), np.float32)}
+
+
 def interpolate_bias_table(table: np.ndarray, src_window: int, dst_window: int
                            ) -> np.ndarray:
     """Bicubic-resample a [(2S-1)², H] relative-position bias table to
@@ -59,7 +99,7 @@ def interpolate_ape(ape: np.ndarray, src_patches: int, dst_patches: int
 
 
 def swinv1_torch_to_flax(state_dict: Mapping[str, object], config,
-                         strict_head: bool = False) -> Dict:
+                         strict_head: bool = False, map22kto1k=None) -> Dict:
     """Map a torch SwinV1 ``state_dict`` onto SwinTransformerV1 params,
     bicubic-interpolating each block's relative_position_bias_table when the
     checkpoint window differs from the target window — the load-bearing
@@ -114,19 +154,9 @@ def swinv1_torch_to_flax(state_dict: Mapping[str, object], config,
             }
     params["norm"] = norm("norm")
     if "head.weight" in sd:
-        head_w = W("head.weight")
-        if head_w.shape[0] == config.num_classes:
-            params["head"] = dense("head")
-        elif strict_head:
-            raise ValueError("head class-count mismatch")
-        else:
-            rng = np.random.RandomState(0)
-            fan_in, fan_out = head_w.shape[1], config.num_classes
-            limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
-            params["head"] = {
-                "kernel": rng.uniform(-limit, limit,
-                                      (fan_in, fan_out)).astype(np.float32),
-                "bias": np.zeros((fan_out,), np.float32)}
+        params["head"] = _convert_head(W("head.weight"), W("head.bias"),
+                                       config.num_classes, strict_head,
+                                       map22kto1k)
     return params
 
 
@@ -154,7 +184,7 @@ def to_scan_layout(params: Dict, config: SwinV2Config) -> Dict:
 
 
 def swinv2_torch_to_flax(state_dict: Mapping[str, object], config: SwinV2Config,
-                         strict_head: bool = False) -> Dict:
+                         strict_head: bool = False, map22kto1k=None) -> Dict:
     """Map a torch SwinV2 ``state_dict`` (reference module layout,
     mvuld/models/swin_transformer_v2.py) onto our Flax param tree."""
     sd = {k: v for k, v in state_dict.items()
@@ -217,22 +247,7 @@ def swinv2_torch_to_flax(state_dict: Mapping[str, object], config: SwinV2Config,
     params["norm"] = norm("norm")
 
     if "head.weight" in sd:
-        head_w = W("head.weight")
-        if head_w.shape[0] == config.num_classes:
-            params["head"] = dense("head")
-        elif strict_head:
-            raise ValueError(
-                f"head has {head_w.shape[0]} classes, config wants "
-                f"{config.num_classes}")
-        else:
-            # class-count mismatch → xavier reinit (reference: utils.py:22-28)
-            rng = np.random.RandomState(0)
-            fan_in = head_w.shape[1]
-            fan_out = config.num_classes
-            limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
-            params["head"] = {
-                "kernel": rng.uniform(-limit, limit,
-                                      (fan_in, fan_out)).astype(np.float32),
-                "bias": np.zeros((fan_out,), np.float32),
-            }
+        params["head"] = _convert_head(W("head.weight"), W("head.bias"),
+                                       config.num_classes, strict_head,
+                                       map22kto1k)
     return params

@@ -16,7 +16,7 @@ import numpy as np
 
 from mvuld_tpu.core.checkpoint import (restore_train_state, resume_ladder,
                                        save_checkpoint)
-from mvuld_tpu.core.logger import AverageMeter, create_logger
+from mvuld_tpu.core.logger import AverageMeter, WindowRate, create_logger
 from mvuld_tpu.core.metrics import format_metrics, get_metrics_logits
 from mvuld_tpu.core.train_state import EarlyStopper, TrainState
 from mvuld_tpu.data.loader import ArrayDataset, eval_batches, train_batches
@@ -178,10 +178,9 @@ def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
 
     for epoch in range(start_epoch, cfg.TRAIN.EPOCHS):
         t_epoch = time.time()
-        loss_meter, speed_meter = AverageMeter(), AverageMeter()
+        loss_meter, speed_meter = AverageMeter(), WindowRate()
         from mvuld_tpu.data.loader import Prefetcher
         for is_multi, b, it, n_done in Prefetcher(host_stream(epoch), depth=2):
-            t0 = time.time()
             if is_multi:
                 state, metrics = (multi_step(state, b, rng, device_data)
                                   if device_data is not None
@@ -192,13 +191,13 @@ def fit(*, cfg, state: TrainState, train_step: Callable, eval_step: Callable,
                                   if device_data is not None
                                   else train_step(state, b, rng))
                 step_loss = metrics["loss"]
+            speed_meter.add(n_done)
             if it % cfg.PRINT_FREQ < (fused_steps if use_fused else 1):
                 loss = float(step_loss)         # forces sync — only on print
                 loss_meter.update(loss, n_done)
-                speed_meter.update(n_done / max(time.time() - t0, 1e-9))
                 logger.info(
                     f"epoch {epoch} it {it}: loss {loss:.4f} "
-                    f"({speed_meter.val:.1f} samples/s)")
+                    f"({speed_meter.read():.1f} samples/s)")
 
         val_metrics = run_eval(eval_step, state, val_ds, batch_size, mesh,
                                (eval_device_data or {}).get("val"))

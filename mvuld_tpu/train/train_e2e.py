@@ -247,11 +247,11 @@ def main(argv=None) -> dict:
     # this large wants a sharded corpus + collective gather instead)
     rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
 
-    def _put_split(cols):
+    def _put_split(cols, drop=()):
         dd = {k: jax.device_put(
                   v.astype(jnp.bfloat16) if (k == "image" and img_dtype)
                   else v, rep)
-              for k, v in cols.items()}
+              for k, v in cols.items() if k not in drop}
         return dd, sum(int(v.nbytes) for v in dd.values())
 
     device_data = None
@@ -268,12 +268,22 @@ def main(argv=None) -> dict:
     # the sklearn metric suite.
     eval_device_data = None
     if cfg.TRAIN.DEVICE_EVAL:
+        if "val" not in datasets:
+            # the harness evaluates val every epoch (falling back to the
+            # train split, which DEVICE_DATA has reduced to index vectors)
+            # — the indexed eval step would TypeError at the first eval.
+            raise ValueError(
+                "TRAIN.DEVICE_EVAL=True but no 'val' split exists "
+                f"(have {sorted(datasets)}); provide one or disable "
+                "TRAIN.DEVICE_EVAL")
         eval_device_data = {}
         for split in ("val", "test"):
             if split not in datasets:
                 continue
             cols = datasets[split].columns
-            eval_device_data[split], nbytes = _put_split(cols)
+            # labels stay host-side for the sklearn metric suite
+            eval_device_data[split], nbytes = _put_split(cols,
+                                                         drop=("label",))
             logger.info(f"device-resident {split} split: "
                         f"{nbytes / 1e9:.2f} GB in HBM")
             datasets[split] = ArrayDataset(

@@ -157,9 +157,10 @@ def main(argv=None) -> dict:
     # the right shape for Big-Vul-scale corpora on a 1-core host anyway.
     rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
 
-    def _put_split(ds):
+    def _put_split(ds, drop=()):
         dd = {k: jax.device_put(v, rep) for k, v in ds.columns.items()
-              if np.issubdtype(np.asarray(v).dtype, np.number)}
+              if k not in drop
+              and np.issubdtype(np.asarray(v).dtype, np.number)}
         return dd, sum(int(v.nbytes) for v in dd.values())
 
     device_data = None
@@ -174,12 +175,24 @@ def main(argv=None) -> dict:
     # vectors, making the whole run transfer-free after the corpus uploads.
     eval_device_data = None
     if cfg.TRAIN.DEVICE_EVAL:
+        # fail fast on a split the run WILL evaluate but cannot serve
+        # device-resident: the indexed eval step would otherwise TypeError
+        # mid-run when run_eval falls back to a host-fed dataset.
+        needed = "test" if args.test else "val"
+        if needed not in datasets:
+            raise ValueError(
+                f"TRAIN.DEVICE_EVAL=True but the '{needed}' split is absent "
+                f"(have {sorted(datasets)}); provide it or disable "
+                f"TRAIN.DEVICE_EVAL")
         eval_device_data = {}
         for split in ("val", "test"):
             if split not in datasets:
                 continue
             labels = np.asarray(datasets[split].columns["label"])
-            eval_device_data[split], nbytes = _put_split(datasets[split])
+            # labels stay host-side for the sklearn metric suite — keeping
+            # them out of HBM skips a redundant upload + per-batch gather
+            eval_device_data[split], nbytes = _put_split(datasets[split],
+                                                         drop=("label",))
             logger.info(f"device-resident {split} split: "
                         f"{nbytes / 1e9:.2f} GB in HBM")
             datasets[split] = ArrayDataset(

@@ -66,3 +66,32 @@ def test_degenerate_no_positives():
     s = np.linspace(0, 1, 10)
     m = M.get_metrics_probs(y, s)
     assert m["f1"] == 0.0 and m["pr_auc"] == 0.0 and m["roc_auc"] == 0.5
+
+
+def test_window_rate_per_window():
+    """Regression for the round-4 telemetry bug (harness.py): printed
+    samples/s must reflect the CURRENT window, not cumulative-samples /
+    cumulative-time (which decays toward 0 as epochs progress)."""
+    from mvuld_tpu.core.logger import WindowRate
+
+    t = [100.0]
+    meter = WindowRate(clock=lambda: t[0])
+    # window 1: 50 print-intervals' worth of batches, 10 samples each, 5 s
+    for _ in range(50):
+        meter.add(10)
+    t[0] += 5.0
+    assert meter.read() == pytest.approx(100.0)   # 500 samples / 5 s
+    # window 2: same load, same duration -> IDENTICAL rate (no decay)
+    for _ in range(50):
+        meter.add(10)
+    t[0] += 5.0
+    assert meter.read() == pytest.approx(100.0)
+    # window 3: half the load in the same time -> rate halves
+    for _ in range(25):
+        meter.add(10)
+    t[0] += 5.0
+    assert meter.read() == pytest.approx(50.0)
+    assert meter.val == pytest.approx(50.0)
+    # zero-duration window is guarded, not a ZeroDivisionError
+    meter.add(10)
+    assert meter.read() > 0

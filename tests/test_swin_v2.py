@@ -197,3 +197,53 @@ def test_converted_checkpoint_through_scan_layout(reference_swin):
                                  jnp.asarray(x.transpose(0, 2, 3, 1)),
                                  return_features=True))
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+def test_head_22k_to_1k_remap():
+    """21841-class pretrained head + 1000-class target selects the mapped
+    rows instead of re-initializing (reference: mvuld/utils.py:115-127 via
+    data/map22kto1k.txt). Fake 21841-class head, injected fake map."""
+    from mvuld_tpu.models.swin_convert import _convert_head, load_map22kto1k
+
+    rng = np.random.RandomState(3)
+    head_w = rng.randn(21841, 16).astype(np.float32)
+    head_b = rng.randn(21841).astype(np.float32)
+    fake_map = rng.choice(21841, size=1000, replace=False)
+
+    out = _convert_head(head_w, head_b, 1000, strict_head=True,
+                        map22kto1k=fake_map)
+    np.testing.assert_array_equal(out["kernel"], head_w[fake_map].T)
+    np.testing.assert_array_equal(out["bias"], head_b[fake_map])
+
+    # exact-match and mismatch paths unchanged
+    exact = _convert_head(head_w[:2], head_b[:2], 2, strict_head=True)
+    np.testing.assert_array_equal(exact["kernel"], head_w[:2].T)
+    reinit = _convert_head(head_w, head_b, 2, strict_head=False)
+    assert reinit["kernel"].shape == (16, 2)
+
+    # the shipped map file is well-formed: 1000 in-range indices
+    idx = load_map22kto1k()
+    assert idx.shape == (1000,)
+    assert idx.min() >= 0 and idx.max() < 21841
+    assert len(np.unique(idx)) == 1000
+
+
+def test_22k_configs_load():
+    """The two 22K fine-tune YAMLs (reference configs/mySwin/) resolve
+    through get_config with the right window/img-size surgery targets."""
+    from mvuld_tpu.config import get_config
+
+    class Args:
+        cfg = "configs/swinv2_base_patch4_window12to24_192to384_22ktoMYDATA_ft.yaml"
+        opts = None
+
+    c1 = get_config(Args())
+    assert c1.MODEL.SWINV2.WINDOW_SIZE == 24 and c1.DATA.IMG_SIZE == 384
+
+    class Args2:
+        cfg = "configs/swinv2_base_patch4_window24to32_384to512_22kto1ktoMYDATA_ft.yaml"
+        opts = None
+
+    c2 = get_config(Args2())
+    assert c2.MODEL.SWINV2.WINDOW_SIZE == 32 and c2.DATA.IMG_SIZE == 512
+    assert tuple(c2.MODEL.SWINV2.PRETRAINED_WINDOW_SIZES) == (12, 12, 12, 6)

@@ -53,3 +53,36 @@ def test_distributed_helpers_single_host():
     assert process_index() == 0 and is_primary()
     items = list(range(7))
     assert shard_manifest(items, rank=1, world=3) == [1, 4]
+
+
+def test_in22k_dataset(tmp_path):
+    """IN22K JSON-annotation reader parity (reference:
+    imagenet22k_dataset.py:12): [path, class] pairs, corrupt-image
+    fallback, target_transform hook."""
+    from PIL import Image
+
+    from mvuld_tpu.data.zip_folder import IN22KDataset
+
+    root = tmp_path / "in22k"
+    root.mkdir()
+    db = []
+    for i in range(4):
+        Image.new("RGB", (8, 8), (0, i * 40, 0)).save(root / f"im{i}.jpeg")
+        db.append([f"im{i}.jpeg", 5000 + i])
+    db.append(["missing.jpeg", 21840])          # corrupt/missing entry
+    import json
+    (root / "ann.json").write_text(json.dumps(db))
+
+    ds = IN22KDataset(str(root), "ann.json")
+    assert len(ds) == 5
+    img, target = ds[1]
+    assert target == 5001 and img.size == (8, 8) and img.mode == "RGB"
+    # unreadable file degrades to a random RGB image, not an exception
+    img, target = ds[4]
+    assert target == 21840 and img.mode == "RGB"
+    # transforms
+    ds2 = IN22KDataset(str(root), "ann.json",
+                       transform=lambda im: np.asarray(im).sum(),
+                       target_transform=lambda t: t - 5000)
+    val, target = ds2[2]
+    assert target == 2 and np.isscalar(val) or val.shape == ()
