@@ -42,6 +42,12 @@ def default_config() -> CfgNode:
     _C.DATA.MAX_NODES = 100        # pad/truncate per-graph node count (GraphModel.py:134)
     _C.DATA.MAX_EDGES = 512        # static edge budget for dense batching
     _C.DATA.NODE_TOKENS = 64       # per-node token budget (data_list.py:239-256)
+    _C.DATA.NODE_CONTEXT = "none"  # "deps": per-node text gains its
+    #                                REACHING_DEF/CDG/CFG source lines
+    #                                (IVDetect's dependency channels,
+    #                                ivdetect/dataset.py:122-301) so
+    #                                cross-site literal relations become
+    #                                local token-sequence features
     _C.DATA.FUNC_TOKENS = 512      # whole-function token budget (unixcoder.py:31)
 
     # ----------------------------------------------------------------- model

@@ -763,3 +763,31 @@ def extract_line_cpg(code: str) -> Optional[LineCPG]:
     edges = [(a, b, t) for (a, b, t) in edges
              if a in gb.ntype and b in gb.ntype]
     return LineCPG(nodes=nodes, edges=edges)
+
+
+def dep_context_lines(cpg: "LineCPG", linenos, lines: List[str],
+                      max_ctx: int = 6, sep: str = " ; ") -> List[str]:
+    """Per-node line text augmented with its dependency-source lines.
+
+    For each requested line number, returns the line's own text followed by
+    the text of its REACHING_DEF / CDG / CFG predecessor lines (sorted,
+    deduped, capped at ``max_ctx``). This is the cross-site context
+    IVDetect's data-/control-dependency channels carry per statement
+    (reference: ivdetect/dataset.py:122-301) — it makes a relation between
+    literals at distant sites (a buffer declaration and its guard bound) a
+    LOCAL token-sequence feature the per-line encoder can compare with
+    attention, instead of a multi-hop message-passing problem.
+    Enabled by ``DATA.NODE_CONTEXT="deps"``.
+    """
+    ctx_of: Dict[int, Set[int]] = {}
+    for (a, b, t) in cpg.edges:
+        if t in ("REACHING_DEF", "CDG", "CFG") and a != b:
+            ctx_of.setdefault(b, set()).add(a)
+    out = []
+    for ln in linenos:
+        ln = int(ln)
+        base = lines[ln - 1] if 1 <= ln <= len(lines) else ""
+        srcs = sorted(s for s in ctx_of.get(ln, ())
+                      if 1 <= s <= len(lines))[:max_ctx]
+        out.append(sep.join([base] + [lines[s - 1] for s in srcs]))
+    return out

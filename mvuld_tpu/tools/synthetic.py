@@ -243,6 +243,102 @@ _TEMPLATES: List[Tuple[str, str]] = [
 # so a detector must bind values across statements to label correctly.
 
 
+# The five hard-family source templates, shared by _hard_function (random
+# parameterization → derived label) and hard_twin (paired vulnerable/patched
+# parameterizations of the SAME function — the synthetic analog of the
+# reference's func_before/func_after columns, eval_patches.py:38-615).
+_HARD_SRC = [
+    """int {fn}(char *{src}, int len)
+{{
+    {t} {buf}[{n}];
+    if (len {op} {bound})
+        return -1;
+    memcpy({buf}, {src}, len);
+    {buf}[0] = {buf}[0] + 1;
+    return {buf}[0];
+}}""",
+    """void {fn}(int *{src}, int count)
+{{
+    int {buf}[{n}];
+    int {i};
+    for ({i} = 0; {i} {op} {bound}; {i}++) {{
+        {buf}[{i}] = {src}[{i} % count];
+    }}
+}}""",
+    """int {fn}(int idx, int *{src})
+{{
+    int {buf}[{n}];
+    if (idx < 0 || idx {op} {bound})
+        return -1;
+    {buf}[idx] = {src}[0];
+    return {buf}[idx];
+}}""",
+    """int {fn}(const char *{src})
+{{
+    {t} {buf}[{decl}];
+    strncpy({buf}, {src}, {bound});
+    {buf}[{term}] = 0;
+    printf("%s", {buf});
+    return 0;
+}}""",
+    """int {fn}(int count)
+{{
+    int *{buf};
+    {buf} = malloc({alloc} * sizeof(int));
+    if ({buf} == 0)
+        return -1;
+    {buf}[{idx}] = 7;
+    {buf}[0] = {buf}[{idx}] + count;
+    free({buf});
+    return 0;
+}}""",
+]
+
+
+def hard_twin(rng: random.Random) -> Tuple[str, str]:
+    """Return (vulnerable_src, patched_src): the SAME hard-family function
+    rendered with a vulnerable parameterization and with its minimal safe
+    patch — only the guard operator / bound / index literals change, exactly
+    like a real security fix. Does not perturb ``_hard_function``'s RNG
+    sequence (committed corpora are seed-reproducible)."""
+    v = _mk(rng)
+    n = 8 * rng.randrange(3, 61)
+    big = 2 * n
+    v["n"], v["big"] = n, big
+    fam = rng.randrange(5)
+    if fam == 0:
+        # guarded memcpy: any accepted len > n overflows; patch tightens
+        # the guard to (len > n)
+        op, bound = rng.choice([(">", big), (">=", big)])
+        vul = _HARD_SRC[0].format(op=op, bound=bound, **v)
+        fix = _HARD_SRC[0].format(op=">", bound=n, **v)
+    elif fam == 1:
+        # loop bound: max index must stay ≤ n-1; patch is (i < n)
+        op, bound = rng.choice([("<", big), ("<", big - 1),
+                                ("<=", n), ("<=", big), ("<=", big - 1)])
+        vul = _HARD_SRC[1].format(op=op, bound=bound, **v)
+        fix = _HARD_SRC[1].format(op="<", bound=n, **v)
+    elif fam == 2:
+        # index guard: accepted max must exclude idx == n; patch (idx >= n)
+        op, bound = rng.choice([(">", n), (">", big), (">=", big)])
+        vul = _HARD_SRC[2].format(op=op, bound=bound, **v)
+        fix = _HARD_SRC[2].format(op=">=", bound=n, **v)
+    elif fam == 3:
+        # strncpy: copy length/terminator exceed the declared size; patch
+        # clamps both to the declaration
+        decl = n
+        bound, term = rng.choice([(big, n - 1), (n, big - 1), (big, big - 1)])
+        vul = _HARD_SRC[3].format(decl=decl, bound=bound, term=term, **v)
+        fix = _HARD_SRC[3].format(decl=decl, bound=decl, term=decl - 1, **v)
+    else:
+        # heap write past the allocation; patch writes the last valid slot
+        alloc = n
+        idx = rng.choice([n, big - 1])
+        vul = _HARD_SRC[4].format(alloc=alloc, idx=idx, **v)
+        fix = _HARD_SRC[4].format(alloc=alloc, idx=alloc - 1, **v)
+    return vul, fix
+
+
 def _hard_function(rng: random.Random) -> Tuple[str, int]:
     v = _mk(rng)
     # sizes come from a WIDE pool (multiples of 8 in [24, 480]) instead of
@@ -260,29 +356,14 @@ def _hard_function(rng: random.Random) -> Tuple[str, int]:
         bound = rng.choice([n, big])
         max_len = bound if op == ">" else bound - 1
         vul = int(max_len > n)
-        src = """int {fn}(char *{src}, int len)
-{{
-    {t} {buf}[{n}];
-    if (len {op} {bound})
-        return -1;
-    memcpy({buf}, {src}, len);
-    {buf}[0] = {buf}[0] + 1;
-    return {buf}[0];
-}}""".format(op=op, bound=bound, **v)
+        src = _HARD_SRC[0].format(op=op, bound=bound, **v)
     elif fam == 1:
         # loop bound: operator AND bound must respect the array extent
         op = rng.choice(["<", "<="])
         bound = rng.choice([n, n - 1, big, big - 1])
         max_idx = bound - 1 if op == "<" else bound
         vul = int(max_idx > n - 1)
-        src = """void {fn}(int *{src}, int count)
-{{
-    int {buf}[{n}];
-    int {i};
-    for ({i} = 0; {i} {op} {bound}; {i}++) {{
-        {buf}[{i}] = {src}[{i} % count];
-    }}
-}}""".format(op=op, bound=bound, **v)
+        src = _HARD_SRC[1].format(op=op, bound=bound, **v)
     elif fam == 2:
         # index guard: the REJECTING comparison must exclude idx == n
         # (note: `len > n` in family 0 is safe; `idx > n` here is not)
@@ -290,44 +371,20 @@ def _hard_function(rng: random.Random) -> Tuple[str, int]:
         bound = rng.choice([n - 1, n, big])
         accepted_max = bound - 1 if op == ">=" else bound
         vul = int(accepted_max > n - 1)
-        src = """int {fn}(int idx, int *{src})
-{{
-    int {buf}[{n}];
-    if (idx < 0 || idx {op} {bound})
-        return -1;
-    {buf}[idx] = {src}[0];
-    return {buf}[idx];
-}}""".format(op=op, bound=bound, **v)
+        src = _HARD_SRC[2].format(op=op, bound=bound, **v)
     elif fam == 3:
         # strncpy: copy length and terminator index vs the declared size
         decl = rng.choice([n, big])
         bound = rng.choice([n, big])
         term = rng.choice([n - 1, big - 1])
         vul = int(bound > decl or term > decl - 1)
-        src = """int {fn}(const char *{src})
-{{
-    {t} {buf}[{decl}];
-    strncpy({buf}, {src}, {bound});
-    {buf}[{term}] = 0;
-    printf("%s", {buf});
-    return 0;
-}}""".format(decl=decl, bound=bound, term=term, **v)
+        src = _HARD_SRC[3].format(decl=decl, bound=bound, term=term, **v)
     else:
         # heap write: index reach vs allocation size
         alloc = rng.choice([n, big])
         idx = rng.choice([n - 1, n, big - 1])
         vul = int(idx > alloc - 1)
-        src = """int {fn}(int count)
-{{
-    int *{buf};
-    {buf} = malloc({alloc} * sizeof(int));
-    if ({buf} == 0)
-        return -1;
-    {buf}[{idx}] = 7;
-    {buf}[0] = {buf}[{idx}] + count;
-    free({buf});
-    return 0;
-}}""".format(alloc=alloc, idx=idx, **v)
+        src = _HARD_SRC[4].format(alloc=alloc, idx=idx, **v)
     return src, vul
 
 

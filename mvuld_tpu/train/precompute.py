@@ -190,9 +190,19 @@ def build_fusion_cache(df, cache_dir: str, cfg, *, text_encoder=None,
                 if pg is None:
                     continue
                 lines = funcs[i].split("\n")
-                for j, ln in enumerate(pg.lineno[: pg.num_nodes]):
-                    flat_lines.append(normalize_line(lines[ln - 1])
-                                      if 1 <= ln <= len(lines) else "")
+                lns = pg.lineno[: pg.num_nodes]
+                if cfg.DATA.NODE_CONTEXT == "deps":
+                    # dependency-context node text (see cpg.dep_context_lines)
+                    from mvuld_tpu.tools.cpg import (dep_context_lines,
+                                                     extract_line_cpg)
+                    cpg = extract_line_cpg(funcs[i])
+                    texts = [normalize_line(s)
+                             for s in dep_context_lines(cpg, lns, lines)]
+                else:
+                    texts = [normalize_line(lines[ln - 1])
+                             if 1 <= ln <= len(lines) else "" for ln in lns]
+                for j, text in enumerate(texts):
+                    flat_lines.append(text)
                     flat_idx.append((i, j))
             for lo in range(0, len(flat_lines), encode_batch):
                 chunk = flat_lines[lo:lo + encode_batch]

@@ -125,9 +125,16 @@ def build_request(sources: List[Tuple[str, str]], cfg, tok, workdir: str,
         arrs["node_mask"][i] = pg.mask
         arrs["func_ids"][i] = tok.tokenize([code], max_length=T)[0]
         lines = code.split("\n")
-        node_lines = [normalize_line(lines[ln - 1])
-                      if 1 <= ln <= len(lines) else ""
-                      for ln in pg.lineno[: pg.num_nodes]]
+        lns = pg.lineno[: pg.num_nodes]
+        if cfg.DATA.NODE_CONTEXT == "deps":
+            # serving must tokenize node text exactly like the run's cache
+            # (dependency-context lines, cpg.dep_context_lines)
+            from mvuld_tpu.tools.cpg import dep_context_lines
+            node_lines = [normalize_line(s)
+                          for s in dep_context_lines(cpg, lns, lines)]
+        else:
+            node_lines = [normalize_line(lines[ln - 1])
+                          if 1 <= ln <= len(lines) else "" for ln in lns]
         if node_lines:
             arrs["node_ids"][i, : pg.num_nodes] = tok.tokenize(
                 node_lines, max_length=Tn)

@@ -26,6 +26,31 @@ from mvuld_tpu.tools.vocab import NUM_NODE_TYPES
 SEQ_LEN = 12      # per-channel token budget for IVDetect
 
 
+def save_baseline_ckpt(out_dir: str, payload: Dict) -> str:
+    """Persist a trained baseline (params + its embedding table + the
+    feature hyperparams) so eval drivers can reload it — the reference's
+    detectors are reloaded from RankSaver checkpoints by eval_patches.py
+    (baselines/scripts/eval_patches.py:470-478)."""
+    import pickle
+
+    import jax
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "baseline_ckpt.pkl")
+    payload = {k: (jax.device_get(v) if k.endswith("params") else v)
+               for k, v in payload.items()}
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    return path
+
+
+def load_baseline_ckpt(out_dir: str) -> Dict:
+    import pickle
+    path = (out_dir if out_dir.endswith(".pkl")
+            else os.path.join(out_dir, "baseline_ckpt.pkl"))
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
 def build_graph_features(df, emb, cfg_max_nodes: int, gtype: str = "all"):
     """Pack graphs + compute node features for the GGNN baselines."""
     from mvuld_tpu.data.graph_batch import pack_graph, per_etype_adjacency
@@ -321,6 +346,11 @@ def main(argv=None) -> dict:
                 probs.append((e / e.sum(-1, keepdims=True))[:, 1])
             results[part] = get_metrics_probs(d["label"], np.concatenate(probs))
             logger.info(f"{part}: {results[part]}")
+        save_baseline_ckpt(args.out_dir, {
+            "model": "ivdetect", "params": params,
+            "emb_vocab": emb.vocab, "emb_vectors": np.asarray(emb.vectors),
+            "max_nodes": args.max_nodes, "emb_dim": args.emb_dim,
+            "hidden": 48})
         return {"results": results}
 
     # GGNN family: word2vec features (reference: devign/dataset.py w2v+onehot)
@@ -333,6 +363,10 @@ def main(argv=None) -> dict:
                             num_steps=6, n_etypes=6)
         _params, results = _bce_train(model, data, args.epochs, args.lr,
                                       args.seed, args.batch_size, logger)
+        save_baseline_ckpt(args.out_dir, {
+            "model": "devign", "params": _params,
+            "emb_vocab": emb.vocab, "emb_vectors": np.asarray(emb.vectors),
+            "max_nodes": args.max_nodes, "emb_dim": args.emb_dim})
         return {"results": results}
 
     # reveal: phase 1 GGNNSum → reprs → SMOTE → phase 2 metric learner
@@ -425,6 +459,10 @@ def main(argv=None) -> dict:
         logp, _ = ml.apply({"params": ml_params}, jnp.asarray(x))
         results[part] = gmp(y, np.exp(np.asarray(logp))[:, 1])
         logger.info(f"{part}: {results[part]}")
+    save_baseline_ckpt(args.out_dir, {
+        "model": "reveal", "params": params, "ml_params": ml_params,
+        "emb_vocab": emb.vocab, "emb_vectors": np.asarray(emb.vectors),
+        "max_nodes": args.max_nodes, "emb_dim": args.emb_dim})
     return {"results": results}
 
 

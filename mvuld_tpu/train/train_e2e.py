@@ -22,20 +22,24 @@ def build_e2e_cache(df, cfg, tok, cache_path: str, img_size: int, logger=None):
     from mvuld_tpu.data.graph_batch import pack_graph
     from mvuld_tpu.data.tokenizer import normalize_line
     from mvuld_tpu.data.transforms import load_image, resize_normalize
-    from mvuld_tpu.tools.cpg import extract_line_cpg
+    from mvuld_tpu.tools.cpg import dep_context_lines, extract_line_cpg
     from mvuld_tpu.tools.render import load_norm_pos
     from mvuld_tpu.train.precompute import render_corpus
 
     M, T, Tn = cfg.DATA.MAX_NODES, cfg.DATA.FUNC_TOKENS, cfg.DATA.NODE_TOKENS
+    node_context = cfg.DATA.NODE_CONTEXT
     if os.path.exists(cache_path):
         arrs = dict(np.load(cache_path, allow_pickle=True))
         # the cache file is keyed by output dir only, so a config change
-        # (IMG_SIZE/MAX_NODES/token budgets) between runs sharing an output
-        # dir must invalidate it — a stale 384px cache fed to a 448px model
-        # fails deep inside the jitted step with a reshape error otherwise
+        # (IMG_SIZE/MAX_NODES/token budgets/NODE_CONTEXT) between runs
+        # sharing an output dir must invalidate it — a stale 384px cache fed
+        # to a 448px model fails deep inside the jitted step with a reshape
+        # error otherwise
+        cached_ctx = str(arrs.get("node_context", "none"))
         if (arrs["image"].shape[1:3] == (img_size, img_size)
                 and arrs["node_ids"].shape[1:] == (M, Tn)
-                and arrs["func_ids"].shape[1] == T):
+                and arrs["func_ids"].shape[1] == T
+                and cached_ctx == node_context):
             return arrs
         if logger:
             logger.warning(
@@ -66,13 +70,18 @@ def build_e2e_cache(df, cfg, tok, cache_path: str, img_size: int, logger=None):
         arrs["node_mask"][i] = pg.mask
         arrs["func_ids"][i] = tok.tokenize([row.func_before], max_length=T)[0]
         lines = row.func_before.split("\n")
-        node_lines = [normalize_line(lines[ln - 1])
-                      if 1 <= ln <= len(lines) else ""
-                      for ln in pg.lineno[: pg.num_nodes]]
+        lns = pg.lineno[: pg.num_nodes]
+        if node_context == "deps":
+            node_lines = [normalize_line(s)
+                          for s in dep_context_lines(cpg, lns, lines)]
+        else:
+            node_lines = [normalize_line(lines[ln - 1])
+                          if 1 <= ln <= len(lines) else "" for ln in lns]
         if node_lines:
             arrs["node_ids"][i, : pg.num_nodes] = tok.tokenize(
                 node_lines, max_length=Tn)
         arrs["image"][i] = resize_normalize(load_image(paths[_id]), img_size)
+    arrs["node_context"] = np.asarray(node_context)
     np.savez_compressed(cache_path, **arrs)
     return arrs
 

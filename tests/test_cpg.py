@@ -194,3 +194,35 @@ def test_one_line_body_dropped_like_reference():
     (getImages.py check_validity:22-51 requires ≥2 line numbers)."""
     g = extract_line_cpg("int f(int a) { int b = a; if (b) return b; return 0; }")
     assert g is None or len(g.filtered("all").nodes) < 2
+
+
+def test_dep_context_lines_binds_distant_literals():
+    """The dependency-context channel (DATA.NODE_CONTEXT=deps) must put the
+    declaration literal AND the guard/bound literal into the unsafe-write
+    node's own token sequence — the cross-site binding IVDetect's
+    data/control channels carry (reference: ivdetect/dataset.py:122-301)."""
+    from mvuld_tpu.tools.cpg import dep_context_lines, extract_line_cpg
+
+    code = """int f(char *src, int len)
+{
+    char buf[320];
+    if (len > 640)
+        return -1;
+    memcpy(buf, src, len);
+    return buf[0];
+}"""
+    cpg = extract_line_cpg(code)
+    lines = code.split("\n")
+    lns = [n[0] for n in cpg.nodes]
+    ctx = dep_context_lines(cpg, lns, lines)
+    by_line = dict(zip(lns, ctx))
+    memcpy_ctx = by_line[6]
+    assert "320" in memcpy_ctx and "640" in memcpy_ctx
+    assert memcpy_ctx.startswith("    memcpy")      # own line first
+    # a node with no predecessors degrades to its own line
+    assert by_line[1].split(" ; ")[0].startswith("int f(")
+    # max_ctx caps the context
+    capped = dep_context_lines(cpg, [6], lines, max_ctx=1)[0]
+    assert len(capped.split(" ; ")) == 2
+    # out-of-range linenos degrade gracefully
+    assert dep_context_lines(cpg, [999], lines) == [""]

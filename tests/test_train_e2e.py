@@ -134,3 +134,41 @@ def test_train_e2e_device_data_parity(tmp_path):
         np.testing.assert_allclose(r_host["test_metrics"][key],
                                    r_dev["test_metrics"][key], rtol=1e-5)
     assert np.isfinite(r_dev["best_f1"])
+
+
+def test_train_e2e_node_context_deps(tmp_path):
+    """DATA.NODE_CONTEXT=deps: per-node token ids gain the dependency-source
+    lines (cpg.dep_context_lines), the cache is invalidated when the flag
+    changes, and the trainer runs end-to-end on the augmented features."""
+    import os
+
+    from mvuld_tpu.train.train_e2e import main
+
+    out = str(tmp_path / "run")
+    opts = _tiny_opts() + ["DATA.NODE_TOKENS", "32"]
+    res = main(["--synthetic", "16", "--hard", "--batch-size", "8",
+                "--output", out, "--cache-only", "--opts", *opts])
+    cache_path = os.path.join(res["output"], "cache", "e2e.npz")
+    plain = np.load(cache_path)
+    plain_counts = (plain["node_ids"] != plain["node_ids"].max()).sum()
+    n_plain = int((np.asarray(plain["node_ids"])
+                   != int(plain["node_ids"][0, -1, -1])).sum())
+
+    res2 = main(["--synthetic", "16", "--hard", "--batch-size", "8",
+                 "--output", out, "--cache-only",
+                 "--opts", *opts, "DATA.NODE_CONTEXT", "deps"])
+    ctx = np.load(cache_path)
+    assert str(ctx["node_context"]) == "deps"
+    pad = int(ctx["node_ids"][0, -1, -1])
+    n_ctx = int((np.asarray(ctx["node_ids"]) != pad).sum())
+    # dependency context strictly adds tokens
+    assert n_ctx > n_plain
+
+    # trains end-to-end on the augmented cache (cache reused, not rebuilt)
+    mtime = os.path.getmtime(cache_path)
+    r = main(["--synthetic", "16", "--hard", "--batch-size", "8",
+              "--output", out, "--node-capacity", "0",
+              "--opts", *opts, "DATA.NODE_CONTEXT", "deps",
+              "TRAIN.EPOCHS", "1"])
+    assert os.path.getmtime(cache_path) == mtime
+    assert "history" in r and len(r["history"]) == 1
