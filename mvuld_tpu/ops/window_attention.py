@@ -39,6 +39,14 @@ def _flat_bwd_v2_default() -> bool:
     return os.environ.get("MVULD_ATTN_BWD", "v2").lower() != "v1"
 
 
+def _bwd_pipelined_default() -> bool:
+    """MVULD_ATTN_BWD=v4 selects the software-pipelined emission order of
+    the v2/v3 backward body (head gi's MXU dots issued after head gi+1's
+    VPU chain — see _flat_bwd2_body_pipelined). Same math, same residuals;
+    scheduling A/B only."""
+    return os.environ.get("MVULD_ATTN_BWD", "v2").lower() == "v4"
+
+
 def _tn_dots_default() -> bool:
     """MVULD_ATTN_TN_DOTS=1 flips the v2 backward's dv/dk contractions to
     the transposed-operand form (perf A/B knob; same math)."""
@@ -1093,9 +1101,11 @@ def pallas_window_attention_flat_bwd(qkv, bias, logit_scale, g,
 def _flat_bwd2_kernel_factory(GL: int, hd: int, ws: int, shift: int,
                               nWh: int, nWw: int, mxu_bf16: bool,
                               tn_dots: bool = False,
-                              mask_branch: bool = False):
+                              mask_branch: bool = False,
+                              pipelined: bool = False):
     N = ws * ws
     mxu_t = jnp.bfloat16 if mxu_bf16 else jnp.float32
+    body_fn = _flat_bwd2_body_pipelined if pipelined else _flat_bwd2_body
 
     def flat_bwd2_kernel(q_ref, k_ref, v_ref, bias_ref, scale_ref, g_ref,
                          o_ref, r_ref,
@@ -1112,10 +1122,10 @@ def _flat_bwd2_kernel_factory(GL: int, hd: int, ws: int, shift: int,
         rall = r_ref[0, 0]                       # [GL, N] fp32 reciprocals
 
         def body(mask):
-            _flat_bwd2_body(GL, hd, mxu_t, tn_dots, hg, rall, mask,
-                            q_ref, k_ref, v_ref, bias_ref, scale_ref, g_ref,
-                            o_ref, dq_ref, dk_ref, dv_ref, dbias_ref,
-                            dscale_ref)
+            body_fn(GL, hd, mxu_t, tn_dots, hg, rall, mask,
+                    q_ref, k_ref, v_ref, bias_ref, scale_ref, g_ref,
+                    o_ref, dq_ref, dk_ref, dv_ref, dbias_ref,
+                    dscale_ref)
 
         if shift > 0:
             wid = b % (nWh * nWw)
@@ -1140,6 +1150,94 @@ def _flat_bwd2_kernel_factory(GL: int, hd: int, ws: int, shift: int,
         return
 
     return flat_bwd2_kernel
+
+
+def _bwd2_phase_a(GL, hd, mxu_t, hg, rall, mask, gi,
+                  q_ref, k_ref, v_ref, bias_ref, scale_ref, g_ref,
+                  o_ref, dbias_ref):
+    """VPU-dominated half of one head's backward: softmax recompute → ds
+    (+ the dbias accumulation). Returns the staged operands the
+    MXU-dominated half (_bwd2_phase_b) consumes."""
+    sl = slice(gi * hd, (gi + 1) * hd)
+    q = q_ref[0, :, sl].astype(jnp.float32)
+    k = k_ref[0, :, sl].astype(jnp.float32)
+    v = v_ref[0, :, sl].astype(jnp.float32)
+    g = g_ref[0, :, sl].astype(jnp.float32)
+    o = o_ref[0, :, sl].astype(jnp.float32)
+    scale = scale_ref[hg * GL + gi, 0]
+
+    qn = jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
+    kn = jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
+    qh = q * qn
+    kh = k * kn
+    qh16 = qh.astype(mxu_t)
+    kh16 = kh.astype(mxu_t)
+    s_cos = _dot(qh16, kh16, 1, 1)
+    # (see the algorithm note in the v2/v3 body below — the math here is
+    # identical; the split into phase A/B only names the VPU-heavy and
+    # MXU-heavy halves so the pipelined body can interleave heads)
+    lrm = (jnp.log(rall[gi, :])
+           - scale_ref[hg * GL + gi, 1])[:, None]
+    s = s_cos * scale + bias_ref[gi].astype(jnp.float32) + lrm
+    if mask is not None:
+        s = s + mask
+    p = jnp.exp(s)
+    t = jnp.sum(g * o, axis=-1, keepdims=True)
+    g16 = g.astype(mxu_t)
+    dp = _dot(g16, v.astype(mxu_t), 1, 1)
+    ds = p * (dp - t)
+    dbias_ref[gi] += ds.astype(dbias_ref.dtype)
+    return dict(gi=gi, sl=sl, scale=scale, qn=qn, kn=kn, qh=qh, kh=kh,
+                qh16=qh16, kh16=kh16, g16=g16,
+                ds16=ds.astype(mxu_t), p16=p.astype(mxu_t))
+
+
+def _bwd2_phase_b(GL, hd, tn_dots, hg, st,
+                  scale_ref, dq_ref, dk_ref, dv_ref, dscale_ref):
+    """MXU-dominated half: the dqh/dv/dkh contractions, the free dscale
+    identity, the normalization backward, and the gradient stores."""
+    gi, sl, scale = st["gi"], st["sl"], st["scale"]
+    qh, kh, qn, kn = st["qh"], st["kh"], st["qn"], st["kn"]
+    qh16, kh16, g16 = st["qh16"], st["kh16"], st["g16"]
+    ds16, p16 = st["ds16"], st["p16"]
+
+    dqh = _dot(ds16, kh16, 1, 0) * scale
+    rowq = jnp.sum(qh * dqh, axis=-1, keepdims=True)
+    dscale_ref[hg * GL + gi, 0] += jnp.sum(rowq) / scale
+    if tn_dots:
+        dv = _dot(g16.T, p16, 1, 0).T
+        dkh = _dot(qh16.T, ds16, 1, 0).T * scale
+    else:
+        dv = _dot(p16, g16, 0, 0)                    # pᵀ·g
+        dkh = _dot(ds16, qh16, 0, 0) * scale         # dsᵀ·qh
+    dq = (dqh - qh * rowq) * qn
+    dk = (dkh - kh * jnp.sum(kh * dkh, axis=-1, keepdims=True)) * kn
+    dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+    dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+    dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _flat_bwd2_body_pipelined(GL, hd, mxu_t, tn_dots, hg, rall, mask,
+                              q_ref, k_ref, v_ref, bias_ref, scale_ref,
+                              g_ref, o_ref, dq_ref, dk_ref, dv_ref,
+                              dbias_ref, dscale_ref):
+    """v4 scheduling experiment (MVULD_ATTN_BWD=v4): software-pipeline the
+    per-head chains — head gi's MXU contractions are emitted AFTER head
+    gi+1's VPU softmax-recompute chain, giving Mosaic an explicit window
+    to overlap the VPU chain with MXU dots (NOTES_r4 residual #1). Same
+    math as _flat_bwd2_body; only the emission order differs. Costs one
+    extra head's staged [N, N] operands in VMEM."""
+    staged = None
+    for gi in range(GL):                # static unroll
+        nxt = _bwd2_phase_a(GL, hd, mxu_t, hg, rall, mask, gi,
+                            q_ref, k_ref, v_ref, bias_ref, scale_ref,
+                            g_ref, o_ref, dbias_ref)
+        if staged is not None:
+            _bwd2_phase_b(GL, hd, tn_dots, hg, staged,
+                          scale_ref, dq_ref, dk_ref, dv_ref, dscale_ref)
+        staged = nxt
+    _bwd2_phase_b(GL, hd, tn_dots, hg, staged,
+                  scale_ref, dq_ref, dk_ref, dv_ref, dscale_ref)
 
 
 def _flat_bwd2_body(GL, hd, mxu_t, tn_dots, hg, rall, mask,
@@ -1223,7 +1321,8 @@ def pallas_window_attention_flat_bwd2(qkv, bias, logit_scale, o, r, g,
                                       mxu_bf16: bool = False,
                                       tn_dots: bool = False,
                                       grad_dtype=None,
-                                      mask_branch: Optional[bool] = None):
+                                      mask_branch: Optional[bool] = None,
+                                      pipelined: bool = False):
     """v2 flat backward: consumes the forward output ``o`` [Bn, N, C] and
     the reciprocal row sums ``r`` [NB, Bn, GL, N] (both forward residuals,
     checkpoint-named "attn_out"/"attn_rowsum" for the remat policy) to drop
@@ -1276,7 +1375,8 @@ def pallas_window_attention_flat_bwd2(qkv, bias, logit_scale, o, r, g,
         mask_branch = _mask_branch_default()
     dq, dk, dv, dbias, dscale = pl.pallas_call(
         _flat_bwd2_kernel_factory(GL, hd, ws, shift, nWh, nWw, mxu_bf16,
-                                  tn_dots=tn_dots, mask_branch=mask_branch),
+                                  tn_dots=tn_dots, mask_branch=mask_branch,
+                                  pipelined=pipelined),
         grid=(NB, Bn),
         in_specs=[spec(0), spec(NB), spec(2 * NB), bias_spec, scale_spec,
                   gout_spec, gout_spec, r_spec],
@@ -1330,7 +1430,7 @@ def make_window_attention_flat(shift: int, nWh: int, nWw: int,
 @functools.lru_cache(maxsize=None)
 def _make_flat_attach_grad(shift: int, nWh: int, nWw: int,
                            mxu_bf16: bool = False, interpret: bool = False,
-                           tn_dots: bool = False):
+                           tn_dots: bool = False, pipelined: bool = False):
     """The v2 gradient attachment: a custom_vjp IDENTITY on the forward
     output whose residuals are exactly the checkpoint-named tensors the
     caller passes in (qkv, bias, scale, out, rowsums). Keeping the forward
@@ -1351,7 +1451,8 @@ def _make_flat_attach_grad(shift: int, nWh: int, nWw: int,
         qkv, bias, logit_scale, out, r = res
         dq, dk, dv, dbias, dscale = pallas_window_attention_flat_bwd2(
             qkv, bias, logit_scale, out, r, g, shift, nWh, nWw,
-            interpret=interpret, mxu_bf16=mxu_bf16, tn_dots=tn_dots)
+            interpret=interpret, mxu_bf16=mxu_bf16, tn_dots=tn_dots,
+            pipelined=pipelined)
         dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
         # out/r are stop-gradient'd upstream; zero cotangents are DCE'd
         return (dqkv.astype(qkv.dtype), dbias,
@@ -1394,7 +1495,8 @@ def window_attention_flat(qkv, bias, logit_scale, shift: int = 0,
     out = checkpoint_name(out, "attn_out")
     r = checkpoint_name(r, "attn_rowsum")
     return _make_flat_attach_grad(shift, nWh, nWw, mxu_bf16, interpret,
-                                  tn_dots=_tn_dots_default())(
+                                  tn_dots=_tn_dots_default(),
+                                  pipelined=_bwd_pipelined_default())(
         qkv, bias, logit_scale, out, r)
 
 

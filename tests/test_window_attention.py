@@ -466,3 +466,27 @@ def test_flat_mask_branch_parity(monkeypatch):
     for a, b in zip(base, branched):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-6)
+
+
+def test_flat_bwd2_pipelined_parity(monkeypatch):
+    """MVULD_ATTN_BWD=v4 (software-pipelined emission order of the v2/v3
+    backward body — head gi's MXU dots after head gi+1's VPU chain) must
+    compute bit-level-identical math; only scheduling differs."""
+    import mvuld_tpu.ops.window_attention as wa
+    qkv, bias, scale = _flat_inputs(seed=13)
+    args = tuple(map(jnp.asarray, (qkv, bias, scale)))
+
+    def loss(a):
+        return (wa.window_attention_flat(*a, shift=2, nWh=2, nWw=2) ** 2).sum()
+
+    with _interpret_flat():
+        monkeypatch.setenv("MVULD_ATTN_BWD", "v2")
+        wa._make_flat_attach_grad.cache_clear()
+        base = jax.grad(loss)(args)
+        monkeypatch.setenv("MVULD_ATTN_BWD", "v4")
+        wa._make_flat_attach_grad.cache_clear()
+        piped = jax.grad(loss)(args)
+        wa._make_flat_attach_grad.cache_clear()
+    for a, b in zip(base, piped):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
