@@ -42,6 +42,12 @@ def default_config() -> CfgNode:
     _C.DATA.MAX_NODES = 100        # pad/truncate per-graph node count (GraphModel.py:134)
     _C.DATA.MAX_EDGES = 512        # static edge budget for dense batching
     _C.DATA.NODE_TOKENS = 64       # per-node token budget (data_list.py:239-256)
+    _C.DATA.NODE_NUMERIC = 0       # k>0: append 2k numeric-magnitude
+    #                                scalars (log1p of the first k integer
+    #                                literals on the node's line + first k
+    #                                from its dependency sources) to the
+    #                                pos features — see
+    #                                cpg.numeric_literal_feats
     _C.DATA.NODE_CONTEXT = "none"  # "deps": per-node text gains its
     #                                REACHING_DEF/CDG/CFG source lines
     #                                (IVDetect's dependency channels,

@@ -791,3 +791,47 @@ def dep_context_lines(cpg: "LineCPG", linenos, lines: List[str],
                       if 1 <= s <= len(lines))[:max_ctx]
         out.append(sep.join([base] + [lines[s - 1] for s in srcs]))
     return out
+
+
+_NUM_RE = re.compile(r"\b\d+\b")
+
+
+def numeric_literal_feats(cpg: "LineCPG", linenos, lines: List[str],
+                          k: int = 2, max_ctx: int = 6) -> "np.ndarray":
+    """Per-node numeric-magnitude features: log1p of the first ``k`` integer
+    literals on the node's own line, then the first ``k`` from its
+    dependency-source lines (REACHING_DEF/CDG/CFG predecessors, in line
+    order — the same context set as dep_context_lines). [len(linenos), 2k]
+    float32, zero-padded.
+
+    Subword LMs are notoriously weak at comparing numeral MAGNITUDES from
+    token identity alone (numeracy literature); on value-binding
+    vulnerabilities (a buffer size vs its guard bound) the label is exactly
+    such a comparison. These scalars give the fusion tower the magnitudes
+    directly; enabled by DATA.NODE_NUMERIC=k (0 = off, the parity default).
+    """
+    import numpy as np
+
+    ctx_of: Dict[int, Set[int]] = {}
+    for (a, b, t) in cpg.edges:
+        if t in ("REACHING_DEF", "CDG", "CFG") and a != b:
+            ctx_of.setdefault(b, set()).add(a)
+
+    def lits(ln: int) -> List[float]:
+        if not (1 <= ln <= len(lines)):
+            return []
+        return [float(m.group(0)) for m in _NUM_RE.finditer(lines[ln - 1])]
+
+    out = np.zeros((len(linenos), 2 * k), np.float32)
+    for i, ln in enumerate(linenos):
+        ln = int(ln)
+        own = lits(ln)[:k]
+        ctx: List[float] = []
+        for s in sorted(ctx_of.get(ln, ()))[:max_ctx]:
+            ctx.extend(lits(s))
+        ctx = ctx[:k]
+        for j, v in enumerate(own):
+            out[i, j] = np.log1p(v)
+        for j, v in enumerate(ctx):
+            out[i, k + j] = np.log1p(v)
+    return out

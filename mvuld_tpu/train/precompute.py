@@ -125,11 +125,12 @@ def build_fusion_cache(df, cache_dir: str, cfg, *, text_encoder=None,
         n = len(rows)
         text_dim = cfg.MODEL.MULTI.TEXT_DIM
         img_dim = cfg.MODEL.MULTI.IMG_DIM
+        pos_dim = 4 + 2 * int(cfg.DATA.NODE_NUMERIC)
         arrs = {
             "img_emb": np.zeros((n, img_dim), np.float32),
             "text_emb": np.zeros((n, text_dim), np.float32),
             "node_emb": np.zeros((n, M, text_dim), np.float32),
-            "pos": np.zeros((n, M, 4), np.float32),
+            "pos": np.zeros((n, M, pos_dim), np.float32),
             "adj": np.zeros((n, M, M), np.uint8),
             "node_mask": np.zeros((n, M), np.float32),
             "lineno": np.zeros((n, M), np.int32),
@@ -154,11 +155,19 @@ def build_fusion_cache(df, cache_dir: str, cfg, *, text_encoder=None,
         for i, pg in enumerate(packed):
             if pg is None:      # per-item failure swallowed by dfmp
                 continue
-            arrs["pos"][i] = pg.pos
+            arrs["pos"][i, :, :4] = pg.pos
             arrs["adj"][i] = pg.adj
             arrs["node_mask"][i] = pg.mask
             arrs["lineno"][i] = pg.lineno
             arrs["ntype"][i] = pg.ntype
+            if cfg.DATA.NODE_NUMERIC:
+                from mvuld_tpu.tools.cpg import (extract_line_cpg,
+                                                 numeric_literal_feats)
+                cpg = extract_line_cpg(funcs[i])
+                if cpg is not None:
+                    arrs["pos"][i, : pg.num_nodes, 4:] = numeric_literal_feats(
+                        cpg, pg.lineno[: pg.num_nodes], funcs[i].split("\n"),
+                        k=int(cfg.DATA.NODE_NUMERIC))
 
         def _pad_call(encoder, x):
             # pad the tail chunk up to encode_batch rows: every dispatch

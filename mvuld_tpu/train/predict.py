@@ -108,11 +108,12 @@ def build_request(sources: List[Tuple[str, str]], cfg, tok, workdir: str,
     n = len(ok)
     M, T, Tn = cfg.DATA.MAX_NODES, cfg.DATA.FUNC_TOKENS, cfg.DATA.NODE_TOKENS
     S = cfg.DATA.IMG_SIZE
+    pos_dim = 4 + 2 * int(cfg.DATA.NODE_NUMERIC)
     arrs = {
         "func_ids": np.full((n, T), tok.pad_id, np.int32),
         "node_ids": np.full((n, M, Tn), tok.pad_id, np.int32),
         "image": np.zeros((n, S, S, 3), np.float32),
-        "pos": np.zeros((n, M, 4), np.float32),
+        "pos": np.zeros((n, M, pos_dim), np.float32),
         "adj": np.zeros((n, M, M), np.uint8),
         "node_mask": np.zeros((n, M), np.float32),
     }
@@ -121,8 +122,13 @@ def build_request(sources: List[Tuple[str, str]], cfg, tok, workdir: str,
         pos_dict = (load_norm_pos(pos_path)
                     if os.path.exists(pos_path) else None)
         pg = pack_graph(cpg, M, pos_dict=pos_dict, gtype=cfg.DATA.GTYPE)
-        arrs["pos"][i], arrs["adj"][i] = pg.pos, pg.adj
+        arrs["pos"][i, :, :4], arrs["adj"][i] = pg.pos, pg.adj
         arrs["node_mask"][i] = pg.mask
+        if cfg.DATA.NODE_NUMERIC:
+            from mvuld_tpu.tools.cpg import numeric_literal_feats
+            arrs["pos"][i, : pg.num_nodes, 4:] = numeric_literal_feats(
+                cpg, pg.lineno[: pg.num_nodes], code.split("\n"),
+                k=int(cfg.DATA.NODE_NUMERIC))
         arrs["func_ids"][i] = tok.tokenize([code], max_length=T)[0]
         lines = code.split("\n")
         lns = pg.lineno[: pg.num_nodes]

@@ -28,17 +28,20 @@ def build_e2e_cache(df, cfg, tok, cache_path: str, img_size: int, logger=None):
 
     M, T, Tn = cfg.DATA.MAX_NODES, cfg.DATA.FUNC_TOKENS, cfg.DATA.NODE_TOKENS
     node_context = cfg.DATA.NODE_CONTEXT
+    node_numeric = int(cfg.DATA.NODE_NUMERIC)
+    pos_dim = 4 + 2 * node_numeric
     if os.path.exists(cache_path):
         arrs = dict(np.load(cache_path, allow_pickle=True))
         # the cache file is keyed by output dir only, so a config change
-        # (IMG_SIZE/MAX_NODES/token budgets/NODE_CONTEXT) between runs
-        # sharing an output dir must invalidate it — a stale 384px cache fed
-        # to a 448px model fails deep inside the jitted step with a reshape
-        # error otherwise
+        # (IMG_SIZE/MAX_NODES/token budgets/NODE_CONTEXT/NODE_NUMERIC)
+        # between runs sharing an output dir must invalidate it — a stale
+        # 384px cache fed to a 448px model fails deep inside the jitted
+        # step with a reshape error otherwise
         cached_ctx = str(arrs.get("node_context", "none"))
         if (arrs["image"].shape[1:3] == (img_size, img_size)
                 and arrs["node_ids"].shape[1:] == (M, Tn)
                 and arrs["func_ids"].shape[1] == T
+                and arrs["pos"].shape[-1] == pos_dim
                 and cached_ctx == node_context):
             return arrs
         if logger:
@@ -55,7 +58,7 @@ def build_e2e_cache(df, cfg, tok, cache_path: str, img_size: int, logger=None):
         "func_ids": np.full((n, T), tok.pad_id, np.int32),
         "node_ids": np.full((n, M, Tn), tok.pad_id, np.int32),
         "image": np.zeros((n, img_size, img_size, 3), np.float32),
-        "pos": np.zeros((n, M, 4), np.float32),
+        "pos": np.zeros((n, M, pos_dim), np.float32),
         "adj": np.zeros((n, M, M), np.uint8),
         "node_mask": np.zeros((n, M), np.float32),
         "label": rows.vul.to_numpy().astype(np.int32),
@@ -66,11 +69,15 @@ def build_e2e_cache(df, cfg, tok, cache_path: str, img_size: int, logger=None):
         cpg = extract_line_cpg(row.func_before)
         pg = pack_graph(cpg, M, pos_dict=load_norm_pos(
             os.path.join(pos_dir, f"{_id}.pkl")), gtype=cfg.DATA.GTYPE)
-        arrs["pos"][i], arrs["adj"][i] = pg.pos, pg.adj
+        arrs["pos"][i, :, :4], arrs["adj"][i] = pg.pos, pg.adj
         arrs["node_mask"][i] = pg.mask
         arrs["func_ids"][i] = tok.tokenize([row.func_before], max_length=T)[0]
         lines = row.func_before.split("\n")
         lns = pg.lineno[: pg.num_nodes]
+        if node_numeric:
+            from mvuld_tpu.tools.cpg import numeric_literal_feats
+            arrs["pos"][i, : pg.num_nodes, 4:] = numeric_literal_feats(
+                cpg, lns, lines, k=node_numeric)
         if node_context == "deps":
             node_lines = [normalize_line(s)
                           for s in dep_context_lines(cpg, lns, lines)]

@@ -26,9 +26,11 @@ echo "E2E_CTX_DONE rc=$?"
 
 # 30-epoch text-only (cUniXcoder) on the same corpus — fills the missing
 # table cell and probes whether the whole-function transformer channel can
-# learn the value-binding relation at all
-timeout 7200 python -m mvuld_tpu.train.train_text \
-  --synthetic 2400 --hard --batch-size 16 --output runs/text_hard2400 \
-  --opts TRAIN.EPOCHS 30 $COMMON \
-  > runs/r5/text_hard2400.log 2>&1
-echo "TEXT_HARD2400_DONE rc=$?"
+# learn the value-binding relation at all (skipped if already trained)
+if [ ! -f runs/text_hard2400/swinv2_base_patch4_window24to28/default/history.json ]; then
+  timeout 7200 python -m mvuld_tpu.train.train_text \
+    --synthetic 2400 --hard --batch-size 16 --output runs/text_hard2400 \
+    --opts TRAIN.EPOCHS 30 $COMMON \
+    > runs/r5/text_hard2400.log 2>&1
+  echo "TEXT_HARD2400_DONE rc=$?"
+fi

@@ -226,3 +226,36 @@ def test_dep_context_lines_binds_distant_literals():
     assert len(capped.split(" ; ")) == 2
     # out-of-range linenos degrade gracefully
     assert dep_context_lines(cpg, [999], lines) == [""]
+
+
+def test_numeric_literal_feats():
+    """DATA.NODE_NUMERIC: per-node log1p magnitudes of own-line + dependency
+    -source-line integer literals — the value channel for bound-vs-size
+    relations (subword token identity can't compare magnitudes)."""
+    import numpy as np
+
+    from mvuld_tpu.tools.cpg import extract_line_cpg, numeric_literal_feats
+
+    code = """int f(char *src, int len)
+{
+    char buf[320];
+    if (len > 640)
+        return -1;
+    memcpy(buf, src, len);
+    return buf[0];
+}"""
+    cpg = extract_line_cpg(code)
+    lines = code.split("\n")
+    lns = [n[0] for n in cpg.nodes]
+    feats = numeric_literal_feats(cpg, lns, lines, k=2)
+    assert feats.shape == (len(lns), 4)
+    by_line = dict(zip(lns, feats))
+    # guard line: own literal 640; decl line: own literal 320
+    assert np.isclose(by_line[4][0], np.log1p(640))
+    assert np.isclose(by_line[3][0], np.log1p(320))
+    # the memcpy node's CONTEXT carries both decl and guard magnitudes
+    ctx = by_line[6][2:]
+    assert np.isclose(sorted(ctx)[0], np.log1p(320))
+    assert np.isclose(sorted(ctx)[1], np.log1p(640))
+    # out-of-range lineno → zeros
+    assert (numeric_literal_feats(cpg, [999], lines, k=2) == 0).all()

@@ -125,3 +125,29 @@ def test_unixcoder_lm_generate():
     assert len(seqs) == 1
     assert seqs[0][:3] == [5, 6, 7]
     assert len(seqs[0]) <= 8
+
+
+def test_results_table(tmp_path, capsys):
+    """results_table: harness history.json + train_baseline log parsing."""
+    import json
+
+    from mvuld_tpu.tools.results_table import main
+
+    r1 = tmp_path / "run1" / "sub"
+    r1.mkdir(parents=True)
+    (r1 / "history.json").write_text(json.dumps(
+        {"history": [{"epoch": 0, "f1": 0.5}],
+         "test": {"f1": 0.91, "acc": 0.9, "pr_auc": 0.95}}))
+    r2 = tmp_path / "run2"
+    r2.mkdir()
+    (r2 / "log_rank0.txt").write_text(
+        "INFO val: {'f1': 0.3}\nINFO test: {'f1': 0.77, 'roc_auc': 0.88}\n")
+
+    out_json = tmp_path / "t.json"
+    table = main([f"e2e={r1.parent}", f"devign={r2}",
+                  "--json", str(out_json)])
+    assert table["e2e"]["f1"] == 0.91
+    assert table["devign"]["roc_auc"] == 0.88
+    printed = capsys.readouterr().out
+    assert "| e2e | 0.9100" in printed and "| devign | 0.7700" in printed
+    assert json.loads(out_json.read_text())["devign"]["f1"] == 0.77

@@ -172,3 +172,28 @@ def test_train_e2e_node_context_deps(tmp_path):
               "TRAIN.EPOCHS", "1"])
     assert os.path.getmtime(cache_path) == mtime
     assert "history" in r and len(r["history"]) == 1
+
+
+def test_train_e2e_node_numeric(tmp_path):
+    """DATA.NODE_NUMERIC=2: pos widens to [N, 8] with the log1p literal
+    magnitudes; cache invalidates on the flag; trainer runs end-to-end."""
+    import os
+
+    from mvuld_tpu.train.train_e2e import main
+
+    out = str(tmp_path / "run")
+    opts = _tiny_opts()
+    main(["--synthetic", "16", "--hard", "--batch-size", "8",
+          "--output", out, "--cache-only", "--opts", *opts])
+    cache_path = os.path.join(out, "swinv2_base_patch4_window24to28",
+                              "default", "cache", "e2e.npz")
+    assert np.load(cache_path)["pos"].shape[-1] == 4
+
+    r = main(["--synthetic", "16", "--hard", "--batch-size", "8",
+              "--output", out, "--node-capacity", "0",
+              "--opts", *opts, "DATA.NODE_NUMERIC", "2",
+              "TRAIN.EPOCHS", "1"])
+    pos = np.load(cache_path)["pos"]
+    assert pos.shape[-1] == 8
+    assert (pos[..., 4:] != 0).any()        # magnitudes actually present
+    assert "history" in r and len(r["history"]) == 1
