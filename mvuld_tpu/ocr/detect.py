@@ -276,4 +276,8 @@ def load_east_detector(ckpt_path: str):
         return model.apply({"params": params, "batch_stats": batch_stats},
                            x, train=False)
 
-    return apply_fn, state["params"]
+    # device-resident ONCE: a host-numpy param tree as a jit argument is
+    # re-uploaded on EVERY dispatch — ~25 MB × 2220 corpus images over the
+    # ~5 MB/s relay turned the OCR stage into hours and fed the relay
+    # client's per-transfer-byte RAM leak (r5 chain OOM).
+    return apply_fn, jax.device_put(state["params"])

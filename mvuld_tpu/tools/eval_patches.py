@@ -87,6 +87,11 @@ def make_baseline_fns(ckpt_dir: str, batch_size: int
                                                 load_baseline_ckpt)
 
     ck = load_baseline_ckpt(ckpt_dir)
+    # device-resident params: host-numpy trees as jit args re-upload per
+    # dispatch over the TPU relay (see train/pipeline.py featurizer note)
+    for key in ("params", "ml_params"):
+        if key in ck:
+            ck[key] = jax.device_put(ck[key])
     emb = EmbeddingTable(ck["emb_vocab"], ck["emb_vectors"])
     max_nodes = ck["max_nodes"]
     name = ck["model"]
@@ -177,7 +182,7 @@ def make_text_fns(run_dir: str, batch_size: int):
     if not ckpt:
         raise FileNotFoundError(f"no checkpoint under {run_dir}")
     state = load_checkpoint(ckpt)
-    params = state["params"]
+    params = jax.device_put(state["params"])   # upload once, not per batch
 
     u = cfg.MODEL.UNIXCODER
     rcfg = RobertaConfig(

@@ -148,16 +148,22 @@ def main(argv=None) -> dict:
             # params ride as jit ARGUMENTS, not closure constants: closed-over
             # arrays are inlined into the shipped StableHLO, and a 126M-param
             # encoder (~500 MB of literals) overflows the relay's compile-
-            # request limit (HTTP 413)
+            # request limit (HTTP 413). They must also be DEVICE-RESIDENT:
+            # passing the host-numpy tree re-uploads all ~500 MB on EVERY
+            # dispatch — over the ~5 MB/s relay that is ~100 s/call and,
+            # with the relay client's per-transfer-byte RAM leak, what
+            # host-OOM-killed the 2400-function cache stage twice (r5).
             @jax.jit
             def _embed(enc_params, ids):
                 _toks, sent = embedder.apply(
                     {"params": {"encoder": enc_params}}, ids)
                 return sent
 
-            _embed_jit.append(_embed)
-        return np.asarray(_embed_jit[0](text_params["encoder"],
-                                        jnp.asarray(np.asarray(ids, np.int32))))
+            _embed_jit.append((_embed,
+                               jax.device_put(text_params["encoder"])))
+        fn, dev_params = _embed_jit[0]
+        return np.asarray(fn(dev_params,
+                             jnp.asarray(np.asarray(ids, np.int32))))
 
     # ---- stages 3-4: render + caches (trained text, swin features)
     from mvuld_tpu.config import get_config
@@ -244,9 +250,13 @@ def main(argv=None) -> dict:
             return swin_model.apply({"params": params}, x,
                                     deterministic=True, return_features=True)
 
+        # device-resident ONCE — a host-numpy tree as a jit argument
+        # re-uploads ~350 MB per dispatch over the relay (see text_encoder)
+        swin_params_dev = jax.device_put(swin_params)
+
         def swin_encoder(imgs: np.ndarray) -> np.ndarray:
             return np.asarray(_feat(
-                swin_params, jnp.asarray(np.asarray(imgs), jnp.float32)))
+                swin_params_dev, jnp.asarray(np.asarray(imgs), jnp.float32)))
 
         cfg.defrost()
         cfg.MODEL.MULTI.IMG_DIM = sc.num_features

@@ -207,9 +207,12 @@ def main(argv=None) -> List[Dict]:
     if not ckpt:
         raise FileNotFoundError(f"no checkpoint under {run_dir}")
     state = load_checkpoint(ckpt)
-    variables = {"params": state["params"]}
+    # device-resident ONCE: host-numpy variables as jit args re-upload the
+    # full 220M-param tri-modal tree on every serving dispatch over the
+    # relay (≈900 MB × batches; see pipeline.py featurizer note)
+    variables = {"params": jax.device_put(state["params"])}
     if state.get("batch_stats") is not None:
-        variables["batch_stats"] = state["batch_stats"]
+        variables["batch_stats"] = jax.device_put(state["batch_stats"])
 
     # ---- gather sources
     sources: List[Tuple[str, str]] = []

@@ -198,8 +198,10 @@ def main(argv=None) -> dict:
         if args.save_embeddings:
             # export per-function sentence embeddings for the fusion stage
             emb_model = UniXcoderEmbedder(rcfg)
-            emb_enc_params = jax.device_get(
-                result["state"].params)["encoder"]
+            # device-resident: host-numpy params as jit args re-upload the
+            # full encoder per dispatch over the relay (see pipeline.py)
+            emb_enc_params = jax.device_put(jax.device_get(
+                result["state"].params)["encoder"])
 
             # params as jit ARGUMENTS: closed-over arrays inline into the
             # shipped StableHLO, and ~500 MB of encoder literals overflows
